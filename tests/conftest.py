@@ -1,0 +1,15 @@
+"""Test configuration: simulate an 8-device CPU mesh so multi-chip sharding
+paths are exercised without TPU hardware (SURVEY.md §4 'Distributed')."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+# The axon TPU plugin ignores JAX_PLATFORMS; force CPU via config as well.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,48 @@
+"""Device mesh + sharding layout for the framework.
+
+The reference is strictly single-device (SURVEY.md §5: no torch.distributed /
+NCCL anywhere), so this module is a *new* first-class component: batch-sharded
+data parallelism over a 1-D ``jax.sharding.Mesh`` axis ``"data"``. Params and
+optimizer state are replicated; gradients and metric histograms reduce over ICI
+via the collectives XLA inserts for pjit-sharded batch math.
+
+Multi-host extension: call ``jax.distributed.initialize()`` before
+``make_mesh()`` and the same axis spans DCN-connected hosts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dim; everything else replicated."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
+    """Place a pytree of host arrays with the batch dim sharded over the mesh."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
