@@ -1,0 +1,90 @@
+"""DeepLabV2-ResNet101 segmenter — the framework's flagship model.
+
+One parameterized model covers the reference's three DeepLab variants
+(SURVEY.md C13/C14a/C14b): ``num_channels`` 1 or 3 selects thermal vs RGB
+input, ``head='module2'`` is the active GroupNorm+SE ASPP head returning
+``{'feat','out'}`` (models/deeplabv2.py:356-378), ``head='legacy'`` is the
+plain ASPP_V2 sum head of the legacy models
+(semantic_segmentation_models.py:182, thermal_semantic_segmentation_models.py:186).
+
+Outputs are stride-8 logits; callers upsample with
+``ops.resize.upsample_logits`` exactly like the reference does at its loss and
+eval sites.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.aspp import ASPPLegacy, ASPPModule2
+from ..nn.resnet import BN_EPS, BN_MOMENTUM, ResNetBackbone
+
+
+class DeepLabV2(nn.Module):
+    num_classes: int = 13
+    num_channels: int = 3
+    head: str = "module2"           # 'module2' | 'legacy'
+    bn_clr: bool = False            # extra BN on the 2048-ch feature (bn_clr flag)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        """x: (N, H, W, num_channels) -> {'feat': (N,H/8,W/8,256), 'out': (N,H/8,W/8,C)}"""
+        x = x.astype(self.dtype)
+        feat = ResNetBackbone(num_channels=self.num_channels, dtype=self.dtype,
+                              name="backbone")(x, train=train)
+        if self.bn_clr:
+            feat = nn.BatchNorm(use_running_average=not train,
+                                momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                dtype=self.dtype, name="bn_pretrain")(feat)
+        if self.head == "module2":
+            out = ASPPModule2(num_classes=self.num_classes, dtype=self.dtype,
+                              name="layer5")(feat, train=train)
+        elif self.head == "legacy":
+            logits = ASPPLegacy(num_classes=self.num_classes, dtype=self.dtype,
+                                name="layer5")(feat)
+            out = {"feat": feat, "out": logits}
+        else:
+            raise ValueError(f"unknown head {self.head!r}")
+        return out
+
+
+def create_deeplab(rng: jax.Array, *, num_classes: int = 13, num_channels: int = 1,
+                   head: str = "module2", bn_clr: bool = False,
+                   dtype: Any = jnp.float32, image_size=(256, 512)):
+    """Build the model and initialize variables.
+
+    Returns (model, variables) where variables = {'params', 'batch_stats'}.
+    """
+    model = DeepLabV2(num_classes=num_classes, num_channels=num_channels,
+                      head=head, bn_clr=bn_clr, dtype=dtype)
+    dummy = jnp.zeros((1, *image_size, num_channels), jnp.float32)
+    variables = model.init({"params": rng}, dummy, train=False)
+    return model, variables
+
+
+def backbone_and_head_masks(params):
+    """Pytree masks selecting backbone (1x LR) vs head (10x LR) parameters.
+
+    Mirrors the reference's optim_parameters split (models/deeplabv2.py:289-321):
+    conv1/bn1/layer1-4 at base LR, layer5 (+bn_pretrain) at 10x.
+    """
+    def is_head(path):
+        top = path[0]
+        return top in ("layer5", "bn_pretrain")
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def mask(pred):
+        def build(path_pred):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, _: path_pred(tuple(k.key for k in p)), params)
+        return build(pred)
+
+    head_mask = mask(is_head)
+    backbone_mask = jax.tree.map(lambda b: not b, head_mask)
+    return backbone_mask, head_mask
