@@ -1,0 +1,77 @@
+"""Fabricate tiny dataset trees matching the reference directory grammar
+(utils/misc.py:186-301), for integration tests of the full data+train stack."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+
+def _save_u16(path, rng, shape=(40, 120)):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # IR range straddling the radiometric window [21800, 25000]
+    arr = rng.integers(21000, 26000, size=shape).astype(np.uint16)
+    Image.fromarray(arr).save(path)
+
+
+def _save_rgb(path, rng, shape=(40, 120)):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = rng.integers(0, 255, size=(*shape, 3)).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def _save_label(path, rng, shape=(40, 120), num_classes=13):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = rng.integers(0, num_classes, size=shape).astype(np.uint8)
+    Image.fromarray(arr, mode="L").save(path)
+
+
+def make_freiburg_tree(root: str, n_train: int = 4, n_test: int = 2,
+                       translation_name: str | None = None, seed: int = 0) -> str:
+    """Freiburg layout:
+      train/seq_00_day/00/fl_ir_aligned/NNNN.png   (uint16 IR)
+      train/seq_00_day/00/fl_rgb/NNNN.png          (RGB)
+      train/seq_00_day/00/fl_rgb_labels/NNNN.png   (labels; shared by IR+RGB
+         via the 'ir_aligned'->'rgb_labels' / 'rgb'->'rgb_labels' substitutions)
+      test/day/ImagesIR/NNNN_ir.png + test/day/SegmentationClass/NNNN_rgb.npy
+    """
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "train", "seq_00_day", "00")
+    for i in range(n_train):
+        _save_u16(os.path.join(base, "fl_ir_aligned", f"{i:04d}.png"), rng)
+        _save_rgb(os.path.join(base, "fl_rgb", f"{i:04d}.png"), rng)
+        _save_label(os.path.join(base, "fl_rgb_labels", f"{i:04d}.png"), rng)
+        if translation_name:
+            tbase = os.path.join(root, translation_name, "seq_00_day", "00")
+            _save_rgb(os.path.join(tbase, "fl_rgb", f"{i:04d}.png"), rng)
+    for i in range(n_test):
+        _save_u16(os.path.join(root, "test", "day", "ImagesIR", f"{i:04d}_ir.png"), rng)
+        lbl_path = os.path.join(root, "test", "day", "SegmentationClass", f"{i:04d}_rgb.npy")
+        os.makedirs(os.path.dirname(lbl_path), exist_ok=True)
+        np.save(lbl_path, rng.integers(0, 13, size=(40, 120)).astype(np.uint8))
+    return root
+
+
+def make_cityscapes_tree(root: str, n: int = 3, data_folder: str = "leftImg8bit",
+                         seed: int = 1) -> str:
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        img = os.path.join(root, data_folder, "train", "cityA",
+                           f"cityA_{i:06d}_{data_folder}.png")
+        _save_rgb(img, rng)
+        lbl = os.path.join(root, "gtFine_labelIds", "train", "cityA",
+                           f"cityA_{i:06d}_gtFine_labelIds.png")
+        os.makedirs(os.path.dirname(lbl), exist_ok=True)
+        arr = rng.integers(0, 34, size=(40, 120)).astype(np.uint8)
+        Image.fromarray(arr, mode="L").save(lbl)
+    return root
+
+
+def make_kitti_tree(root: str, n: int = 3, seed: int = 2) -> str:
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        _save_rgb(os.path.join(root, "2011_09_26", "2011_09_26_drive",
+                               "image_02", "data", f"{i:010d}.png"), rng)
+    return root

@@ -1,0 +1,117 @@
+"""Data pipeline tests: list-file grammar, IR normalization, transforms, loader."""
+
+import numpy as np
+import pytest
+
+from thermal_semantic_segmentation_tpu.data import transforms as T
+from thermal_semantic_segmentation_tpu.data.cityscapes import Cityscapes, remap_label
+from thermal_semantic_segmentation_tpu.data.freiburg import Freiburg, FreiburgTest
+from thermal_semantic_segmentation_tpu.data.loader import DataLoader, split_indices
+from thermal_semantic_segmentation_tpu.data.simple import Kitti
+from thermal_semantic_segmentation_tpu.data.palette import colorize_prediction
+
+from synthetic import make_cityscapes_tree, make_freiburg_tree, make_kitti_tree
+
+
+@pytest.fixture(scope="module")
+def freiburg_root(tmp_path_factory):
+    return make_freiburg_tree(str(tmp_path_factory.mktemp("freiburg")),
+                              translation_name="freiburg_rgb2ir_130epochs")
+
+
+def val_transform():
+    return T.Compose([T.Resize((512, 256)), T.ToArray()])
+
+
+def train_transform():
+    return T.Compose([
+        T.RandomResizedCrop(size=(256, 512), ratio=(1.5, 8 / 3.), scale=(0.5, 1.0)),
+        T.RandomHorizontalFlip(),
+        T.ToArray(),
+    ])
+
+
+def test_freiburg_ir_train(freiburg_root):
+    ds = Freiburg(freiburg_root, "train", "IR", transforms=val_transform())
+    assert len(ds) == 4
+    item = ds.get(0, np.random.default_rng(0))
+    img, lab = item["image"], item["label"]
+    assert img.shape == (256, 512, 1)
+    # IR radiometric window -> [0,1]; BICUBIC resize may overshoot slightly
+    assert -0.2 <= img.min() and img.max() <= 1.2
+    assert lab.shape == (256, 512) and lab.dtype == np.int64
+    assert lab.max() <= 12
+
+
+def test_freiburg_rgb_augmented(freiburg_root):
+    ds = Freiburg(freiburg_root, "train", "RGB", transforms=train_transform())
+    item = ds.get(1, np.random.default_rng(1))
+    assert item["image"].shape == (256, 512, 3)
+    # deterministic per (seed, index) rng
+    item2 = ds.get(1, np.random.default_rng(1))
+    np.testing.assert_array_equal(item["image"], item2["image"])
+
+
+def test_freiburg_translation_mode(freiburg_root):
+    ds = Freiburg(freiburg_root, "train", "RGB", transforms=train_transform(),
+                  segmentation_mode=True,
+                  translation_name="freiburg_rgb2ir_130epochs")
+    item = ds.get(0, np.random.default_rng(0))
+    assert item["image"].shape == (256, 512, 3)
+
+
+def test_freiburg_test_npy_labels(freiburg_root):
+    ds = FreiburgTest(freiburg_root, "test", "IR", transforms=val_transform())
+    item = ds.get(0, np.random.default_rng(0))
+    assert item["image"].shape == (256, 512, 1)
+    assert item["label"].shape == (256, 512)
+
+
+def test_cityscapes_remap(tmp_path):
+    root = make_cityscapes_tree(str(tmp_path))
+    ds = Cityscapes(root, transforms=val_transform())
+    item = ds.get(0, np.random.default_rng(0))
+    assert item["label"].max() <= 12  # 19-class ids merged into 13-class space
+    # spot checks of the merge table
+    assert remap_label(np.array([7]))[0] == 0
+    assert remap_label(np.array([33]))[0] == 11
+    assert remap_label(np.array([0]))[0] == 12   # unmapped -> ignore
+    assert remap_label(np.array([26]))[0] == 10  # car -> vehicles
+
+
+def test_kitti_unlabeled(tmp_path):
+    root = make_kitti_tree(str(tmp_path))
+    ds = Kitti(root, train_transform())
+    item = ds.get(0, np.random.default_rng(0))
+    assert item["image"].shape == (256, 512, 3)
+
+
+def test_loader_batching_and_split(freiburg_root):
+    ds = Freiburg(freiburg_root, "train", "IR", transforms=val_transform())
+    train_idx, val_idx = split_indices(len(ds), 0.25, seed=42)
+    assert len(val_idx) == 1 and len(train_idx) == 3
+    loader = DataLoader(ds, batch_size=2, shuffle=True, indices=train_idx,
+                        drop_last=True, seed=7)
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]["image"].shape == (2, 256, 512, 1)
+    assert batches[0]["label"].shape == (2, 256, 512)
+    # second epoch reshuffles deterministically
+    b2 = list(loader)
+    assert len(b2) == 1
+
+
+def test_split_matches_reference_semantics():
+    """np.random.seed(42)-shuffle split (segmentation_train.py:129-135)."""
+    train_idx, val_idx = split_indices(10, 0.2, seed=42)
+    indices = np.arange(10)
+    rs = np.random.RandomState(42)
+    rs.shuffle(indices)
+    assert val_idx == indices[:2].tolist()
+    assert train_idx == indices[2:].tolist()
+
+
+def test_palette_png():
+    pred = np.random.default_rng(0).integers(0, 13, size=(16, 32))
+    img = colorize_prediction(pred)
+    assert img.mode == "P" and img.size == (32, 16)

@@ -1,0 +1,110 @@
+"""Shared CLI plumbing: dataset selection, checkpoint IO, model construction."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from ..core.checkpoint import load_checkpoint, maybe_load_torch_checkpoint, save_checkpoint
+from ..data import transforms as T
+from ..data.cityscapes import Cityscapes, CityscapesTranslation
+from ..data.freiburg import Freiburg, FreiburgTest, FreiburgTranslationPairs
+from ..models.deeplab import create_deeplab
+from ..models.torch_convert import torch_state_dict_to_flax
+
+
+def train_transform():
+    """The canonical train aug (segmentation_train.py:89-94)."""
+    return T.Compose([
+        T.RandomResizedCrop(size=(256, 512), ratio=(1.5, 8 / 3.), scale=(0.5, 1.0)),
+        T.RandomHorizontalFlip(),
+        T.ToArray(),
+    ])
+
+
+def val_transform():
+    """Resize((512, 256)) + ToTensor (segmentation_train.py:96-99)."""
+    return T.Compose([T.Resize((512, 256)), T.ToArray()])
+
+
+def build_seg_dataset(args, transform, *, for_eval: bool = False):
+    """Dataset switch matching segmentation_train.py:104-123 /
+    segmentation_evaluate.py:99-118."""
+    name = args.dataset
+    if name == "cityscapes_translation":
+        return CityscapesTranslation(args.source_root, transforms=transform)
+    if name == "cityscapes":
+        return Cityscapes(args.source_root, transforms=transform)
+    if name == "freiburg_ir":
+        if for_eval:
+            return FreiburgTest(args.freiburg_root, "test", "IR",
+                                transforms=transform, with_label=True)
+        return Freiburg(args.freiburg_root, "train", "IR", transforms=transform,
+                        with_label=True)
+    if name == "freiburg_rgb":
+        if for_eval:
+            return FreiburgTest(args.freiburg_root, "test", "RGB",
+                                transforms=transform, with_label=True,
+                                grayscale=args.grayscale)
+        return Freiburg(args.freiburg_root, "train", "RGB", transforms=transform,
+                        grayscale=args.grayscale, with_label=True)
+    if name == "freiburg_translation":
+        if for_eval:
+            return FreiburgTranslationPairs(
+                folder="test_" + args.checkpoint_name.replace("_segmentation.pth", "") + "/",
+                transforms=transform,
+                root=os.path.join(args.freiburg_root, "translations"))
+        return Freiburg(args.freiburg_root, "train", "RGB", transforms=transform,
+                        with_label=True, segmentation_mode=True,
+                        translation_name=args.translation_name)
+    if name == "freiburg_t2s":
+        return FreiburgTranslationPairs(
+            folder=args.t2s_folder, transforms=transform,
+            root=os.path.join(args.freiburg_root, "translations", "t2s"),
+            strip_underscore=False)
+    raise ValueError("dataset does not exist.")
+
+
+def build_deeplab(args, *, get_feat: bool = True, head: str = "module2",
+                  abstract: bool = False):
+    """net_mode switch (segmentation_train.py:147-156).
+
+    ``abstract=True`` returns shape-only variables (no device init) for the
+    load-checkpoint paths.
+    """
+    import jax.numpy as jnp
+
+    if args.net_mode == "one_channel":
+        num_channels = 1
+    elif args.net_mode == "three_channels":
+        num_channels = 3
+    else:
+        raise ValueError("net mode does not exist.")
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+    return create_deeplab(jax.random.key(args.seed), num_classes=args.num_classes,
+                          num_channels=num_channels, head=head, dtype=dtype,
+                          abstract=abstract)
+
+
+def load_seg_checkpoint(path: str):
+    """Load a seg checkpoint: native msgpack or a reference torch .pth.
+
+    Returns (variables, meta) where meta carries epoch / val_loss / extras.
+    """
+    try:
+        ckpt = load_checkpoint(path)
+        variables = ckpt.pop("variables")
+        return variables, ckpt
+    except Exception:
+        ckpt = maybe_load_torch_checkpoint(path)
+        sd = ckpt.get("sem_net_state_dict", ckpt)
+        variables = torch_state_dict_to_flax(sd)
+        meta = {k: v for k, v in ckpt.items() if not k.endswith("state_dict")}
+        return variables, meta
+
+
+def save_seg_checkpoint(path: str, variables, **meta) -> None:
+    payload = {"variables": jax.tree.map(np.asarray, variables), **meta}
+    save_checkpoint(path, payload)

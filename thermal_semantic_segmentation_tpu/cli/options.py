@@ -1,0 +1,227 @@
+"""Argparse front-ends mirroring the reference ``options.py`` flag surface.
+
+Flag names and defaults match options.py:4-122 plus the inline parsers in
+self_train_main.py:145-181 and generate_pseudo_label.py:101-108, so command
+lines written for the reference keep working. Two deliberate fixes:
+
+- flags declared ``type=bool`` in the reference treat any non-empty string as
+  True (argparse trap); here they parse 'false/0/no' correctly via str2bool.
+- dataset roots are overridable (--freiburg_root / --source_root / ...)
+  instead of hardcoded relative paths; defaults keep the reference layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if str(v).lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if str(v).lower() in ("no", "false", "f", "n", "0", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
+def _add_roots(parser: argparse.ArgumentParser):
+    parser.add_argument('--freiburg_root', type=str, default='datasets/freiburg')
+    parser.add_argument('--source_root', type=str, default='datasets/source_dataset')
+    parser.add_argument('--kitti_root', type=str, default='datasets/kitti')
+    parser.add_argument('--flir_root', type=str, default='datasets/target_dataset')
+    parser.add_argument('--model_root_path', type=str,
+                        default='./checkpoints/semantic_segmentation')
+    parser.add_argument('--gan_model_root_path', type=str, default='./checkpoints')
+    parser.add_argument('--bf16', type=str2bool, default=False,
+                        help='bfloat16 compute dtype (TPU fast path).')
+    parser.add_argument('--seed', type=int, default=0)
+
+
+def train_parse():
+    """GAN translation training options (options.py:4-24)."""
+    parser = argparse.ArgumentParser(description='train options')
+    parser.add_argument('-batch_size', type=int, default=4)
+    parser.add_argument('-sem_loss', type=str2bool, default=False)
+    parser.add_argument('-load_model', type=str2bool, default=False)
+    parser.add_argument('-checkpoint_name', type=str, default='freiburg_rgb2ir.pth')
+    parser.add_argument('-new_checkpoint_name', type=str,
+                        default='cityscapes_rgb2freiburg_ir.pth')
+    parser.add_argument('-source_dataset', type=str, default='kitti')
+    parser.add_argument('-target_dataset', type=str, default='freiburg_ir')
+    parser.add_argument('-lr', type=float, default=0.0001)
+    parser.add_argument('-num_epoch', type=int, default=65)
+    parser.add_argument('-grayscale', type=str2bool, default=False)
+    parser.add_argument('-s2t_input_nc', type=int, default=3)
+    parser.add_argument('-t2s_input_nc', type=int, default=1)
+    parser.add_argument('-normalize', type=float, nargs='+', default=[0.5, 0.5, 0.5])
+    parser.add_argument('-with_contour', type=str2bool, default=False)
+    parser.add_argument('-canny_thermal_threshold', type=float, default=1)
+    parser.add_argument('-canny_rgb_threshold', type=float, default=2.5)
+    parser.add_argument('-cycle', type=str2bool, default=True,
+                        help='CycleGAN (main.py) vs one-direction GAN (main_gan.py).')
+    parser.add_argument('-log_interval', type=int, default=10)
+    parser.add_argument('-max_steps', type=int, default=0,
+                        help='debug: cap steps per epoch (0 = unlimited).')
+    _add_roots(parser)
+    return parser
+
+
+def translation_parse():
+    """Offline translator options (options.py:27-48)."""
+    parser = argparse.ArgumentParser(description='translation options')
+    parser.add_argument('--root', type=str, default='')
+    parser.add_argument('-dataset', type=str, default='Cityscapes')
+    parser.add_argument('-batch_size', type=int, default=1)
+    parser.add_argument('-checkpoint_name', type=str,
+                        default='cityscapes_rgb2freiburg_ir.pth')
+    parser.add_argument('-input_nc', type=int, default=3)
+    parser.add_argument('-output_nc', type=int, default=1)
+    parser.add_argument('-save_image_size', type=int, nargs=2, default=[1024, 2048])
+    parser.add_argument('-normalize', type=float, nargs='+', default=[0.5, 0.5, 0.5])
+    parser.add_argument('-denormalize', type=float, nargs='+', default=[0.5])
+    parser.add_argument('-grayscale', type=str2bool, default=False)
+    parser.add_argument('-generator_type', type=str, default='s2t')
+    parser.add_argument('-translation_name_suffix', type=str, default='cityscapes')
+    _add_roots(parser)
+    return parser
+
+
+def seg_parse():
+    """Segmentation training options (options.py:51-80)."""
+    parser = argparse.ArgumentParser(description='segmentation options')
+    parser.add_argument('--root', type=str, default='')
+    parser.add_argument('-load_model', type=str2bool, default=False)
+    parser.add_argument('-epochs', type=int, default=50)
+    parser.add_argument('-batch_size', type=int, default=8)
+    parser.add_argument('-val_batch_size', type=int, default=8)
+    parser.add_argument('-checkpoint_name', type=str,
+                        default='256_cityscapes_rgb2freiburg_ir_segmentation.pth')
+    parser.add_argument('-new_checkpoint_name', type=str,
+                        default='256_cityscapes_rgb2freiburg_ir_segmentation.pth')
+    parser.add_argument('-num_samples_show', type=int, default=3)
+    parser.add_argument('-net_mode', type=str, default='one_channel')
+    parser.add_argument('-dataset', type=str, default='cityscapes_translation')
+    parser.add_argument('-num_classes', type=int, default=13)
+    parser.add_argument('-lr', type=float, default=0.0001)
+    parser.add_argument('-data_split', type=str2bool, default=False)
+    parser.add_argument('-translation_name', type=str, default='freiburg_rgb2ir_130epochs')
+    parser.add_argument('-visualize_prediction', type=str2bool, default=False)
+    parser.add_argument('-ignore_index', type=int, default=12)
+    parser.add_argument('-generator_type', type=str, default='s2t')
+    parser.add_argument('-t2s_folder', type=str, default='test_cityscapes_rgb2freiburg_ir/')
+    parser.add_argument('-baseline', type=str2bool, default=False)
+    parser.add_argument('-source_domain', type=str, default='Thermal')
+    parser.add_argument('-target_domain', type=str, default='Grayscale')
+    parser.add_argument('-with_feat', type=str2bool, default=False)
+    parser.add_argument('-logdir', type=str, default='./logs')
+    parser.add_argument('-grayscale', type=str2bool, default=False)
+    parser.add_argument('-log_interval', type=int, default=10)
+    parser.add_argument('-max_steps', type=int, default=0)
+    _add_roots(parser)
+    return parser
+
+
+def evaluation_parse():
+    """Evaluation options (options.py:83-103)."""
+    parser = argparse.ArgumentParser(description='segmentation options')
+    parser.add_argument('--root', default='')
+    parser.add_argument('-val_batch_size', type=int, default=1)
+    parser.add_argument('-checkpoint_name', type=str,
+                        default='256_freiburg_rgb2ir_segmentation.pth')
+    parser.add_argument('-new_checkpoint_name', type=str, default='')
+    parser.add_argument('-num_samples_show', type=int, default=3)
+    parser.add_argument('-net_mode', type=str, default='one_channel')
+    parser.add_argument('-dataset', type=str, default='freiburg_ir')
+    parser.add_argument('-grayscale', type=str2bool, default=False)
+    parser.add_argument('-num_classes', type=int, default=13)
+    parser.add_argument('-data_split', type=str2bool, default=False)
+    parser.add_argument('-translation_name', type=str,
+                        default='cityscapes_rgb2freiburg_ir')
+    parser.add_argument('-visualize_prediction', default=None)
+    parser.add_argument('-ignore_index', type=int, default=12)
+    parser.add_argument('-generator_type', type=str, default='s2t')
+    parser.add_argument('-t2s_folder', type=str, default='test_cityscapes_rgb2freiburg_ir/')
+    parser.add_argument('-baseline', type=str2bool, default=False)
+    parser.add_argument('-source_domain', type=str, default='Thermal')
+    parser.add_argument('-target_domain', type=str, default='Grayscale')
+    _add_roots(parser)
+    return parser
+
+
+def calc_proto_parse():
+    """Prototype computation options (options.py:105-118)."""
+    parser = argparse.ArgumentParser(description='prototype computation options.')
+    parser.add_argument('-normalize', type=float, nargs='+', default=[0.5])
+    parser.add_argument('-net_mode', type=str, default='one_channel')
+    parser.add_argument('-dataset', type=str, default='freiburg_ir')
+    parser.add_argument('-num_classes', type=int, default=13)
+    parser.add_argument('-root', type=str, default='')
+    parser.add_argument('-epochs', type=int, default=4)
+    parser.add_argument('-batch_size', type=int, default=64)
+    parser.add_argument('-checkpoint_name', type=str,
+                        default='freiburg_rgb2ir_cityscapes_segmentation.pth')
+    parser.add_argument('-with_feat', type=str2bool, default=True)
+    parser.add_argument('-max_steps', type=int, default=0)
+    _add_roots(parser)
+    return parser
+
+
+def pseudo_generation_parse():
+    """Pseudo-label generation options (generate_pseudo_label.py:101-108)."""
+    parser = argparse.ArgumentParser(description="config")
+    parser.add_argument('--root', type=str, default='')
+    parser.add_argument('--soft', type=str2bool, default=False)
+    parser.add_argument('--flip', type=str2bool, default=False)
+    parser.add_argument('-checkpoint_name', default='256_freiburg_rgb2ir_segmentation.pth')
+    parser.add_argument('-batch_size', type=int, default=4)
+    parser.add_argument('--dataset', default='freiburg_ir')
+    parser.add_argument('-pseudo_type', default='hard')
+    parser.add_argument('-translation_name', type=str, default='freiburg_rgb2ir_130epochs')
+    parser.add_argument('-grayscale', type=str2bool, default=False)
+    parser.add_argument('-max_steps', type=int, default=0)
+    _add_roots(parser)
+    return parser
+
+
+def self_train_parse():
+    """Self-training options (self_train_main.py:145-181)."""
+    parser = argparse.ArgumentParser(description="config")
+    parser.add_argument('--root', type=str, default='')
+    parser.add_argument('--resize', type=int, default=1200)
+    parser.add_argument('--rcrop', type=int, nargs=2, default=[512, 256])
+    parser.add_argument('--hflip', type=float, default=0.5)
+    parser.add_argument('--proto_rectify', type=str2bool, default=True)
+    parser.add_argument('--load_model', type=str2bool, default=True)
+    parser.add_argument('-checkpoint_name', default='256_freiburg_rgb2ir_segmentation.pth')
+    parser.add_argument('-new_checkpoint_name',
+                        default='256_freiburg_rgb2ir_tem_0.5_thres_0.3_segmentation.pth')
+    parser.add_argument('-batch_size', type=int, default=4)
+    parser.add_argument('--use_saved_pseudo', type=str2bool, default=True)
+    parser.add_argument('--self_train', type=str2bool, default=True)
+    parser.add_argument('--path_soft', type=str, default='')
+    parser.add_argument('--path_lp', type=str, default='')
+    parser.add_argument('-pseudo_type', default='soft')
+    parser.add_argument('-translation_name', type=str, default='freiburg_rgb2ir_130epochs')
+    parser.add_argument('--epochs', type=int, default=10)
+    parser.add_argument('--lr', type=float, default=0.000001)
+    parser.add_argument('--num_classes', type=int, default=13)
+    parser.add_argument('--ignore_index', type=int, default=12)
+    parser.add_argument('--ema', type=str2bool, default=True)
+    parser.add_argument('--proto_temperature', type=float, default=0.5)
+    parser.add_argument('--train_thred', type=float, default=0)
+    parser.add_argument('--rce', type=str2bool, default=True)
+    parser.add_argument('--rce_alpha', type=float, default=0.1)
+    parser.add_argument('--rce_beta', type=float, default=1.0)
+    parser.add_argument('--moving_prototype', type=str2bool, default=True)
+    parser.add_argument('--proto_momentum', type=float, default=0.0001)
+    parser.add_argument('--visualize_prediction', default='save_one')
+    parser.add_argument('--iter_counter', type=int, default=0)
+    parser.add_argument('--baseline', type=str2bool, default=False)
+    parser.add_argument('--generator_type', default=None)
+    parser.add_argument('--target_dataset', default='freiburg_ir')
+    parser.add_argument('--threshold', type=float, default=0.3)
+    parser.add_argument('--val_interval', type=int, default=500)
+    parser.add_argument('-max_steps', type=int, default=0)
+    _add_roots(parser)
+    return parser

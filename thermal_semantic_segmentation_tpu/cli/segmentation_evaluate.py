@@ -1,0 +1,63 @@
+"""Segmentation evaluation entry point (reference segmentation_evaluate.py).
+
+Loads a checkpoint (native msgpack or reference torch .pth), runs batch
+inference with on-device metric accumulation, prints mIoU / val loss /
+per-class IoUs in the reference format.
+
+Usage: python -m thermal_semantic_segmentation_tpu.cli.segmentation_evaluate [flags]
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..data.loader import DataLoader, split_indices
+from ..eval.validate import seg_validate
+from ._common import build_deeplab, build_seg_dataset, load_seg_checkpoint, val_transform
+from .options import evaluation_parse
+
+
+def seg_evaluation(args):
+    print("evaluating...")
+    dataset = build_seg_dataset(args, val_transform(), for_eval=True)
+
+    if args.data_split:
+        _, val_idx = split_indices(len(dataset), 0.2, seed=42)
+        loader = DataLoader(dataset, args.val_batch_size, shuffle=True,
+                            indices=val_idx, drop_last=True, seed=args.seed)
+    else:
+        loader = DataLoader(dataset, args.val_batch_size, shuffle=False,
+                            drop_last=True, seed=args.seed)
+
+    model, _ = build_deeplab(args, abstract=True)  # checkpoint supplies variables
+    path = os.path.join(args.model_root_path, args.checkpoint_name)
+    variables, _meta = load_seg_checkpoint(path)
+
+    save_root = None
+    if args.visualize_prediction:
+        save_root = os.path.join(
+            args.root, "predictions",
+            (args.new_checkpoint_name or args.checkpoint_name).replace(".pth", ""))
+        if args.baseline:
+            save_root = (f"baseline_predictions/apply_{args.target_domain}"
+                         f"_image_on_{args.source_domain}_domain_model")
+        if args.generator_type == "t2s":
+            save_root = f"predictions/t2s/{args.checkpoint_name.replace('.pth', '')}"
+
+    mean_iu, avg_loss, class_iou = seg_validate(
+        model, variables, loader, num_classes=args.num_classes,
+        ignore_index=args.ignore_index, visualize=args.visualize_prediction,
+        save_root=save_root)
+    print("checkpoint name: " + args.checkpoint_name)
+    print(f"mean iou score: [{mean_iu}]. val_loss: [{avg_loss}]")
+    for k, v in class_iou.items():
+        print(f"target set class {k}: {v}")
+    return mean_iu, avg_loss, class_iou
+
+
+def main(argv=None):
+    seg_evaluation(evaluation_parse().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Supervised segmentation training entry point.
+
+TPU-native equivalent of the reference ``segmentation_train.py``: same recipe
+(80/20 seed-42 split, Adam + ReduceLROnPlateau on source-val loss, CE with
+ignore_index, per-epoch source-val + Freiburg-IR-test mIoU logging, best-val
+checkpointing), with the whole train step fused under jit and the batch
+sharded over the device mesh.
+
+Usage: python -m thermal_semantic_segmentation_tpu.cli.segmentation_train [flags]
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..core.schedule import ReduceLROnPlateau
+from ..data.loader import DataLoader, split_indices
+from ..eval.validate import seg_validate
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..train.seg import build_seg_eval_step, create_seg_state, make_seg_train_step
+from ..utils.logging import get_logger
+from ..utils.meters import AverageMeter, ProgressMeter
+from ._common import (build_deeplab, build_seg_dataset, load_seg_checkpoint,
+                      save_seg_checkpoint, train_transform, val_transform)
+from .options import seg_parse
+
+
+def seg_main(args, logger):
+    mesh = make_mesh()
+    source_dataset = build_seg_dataset(args, train_transform())
+    from ..data.freiburg import FreiburgTest
+    target_val_dataset = FreiburgTest(args.freiburg_root, "test", "IR",
+                                      transforms=val_transform(), with_label=True)
+    logger.info("Dataset created. Train with %s_%s, validate with FreiburgTest.",
+                source_dataset.__class__.__name__, args.translation_name)
+
+    train_idx, val_idx = split_indices(len(source_dataset), 0.2, seed=42)
+    train_loader = DataLoader(source_dataset, args.batch_size, shuffle=True,
+                              indices=train_idx, drop_last=True, seed=args.seed)
+    val_loader = DataLoader(source_dataset, args.val_batch_size, shuffle=True,
+                            indices=val_idx, drop_last=True, seed=args.seed + 1)
+    target_val_loader = DataLoader(target_val_dataset, args.val_batch_size,
+                                   shuffle=False, drop_last=True, seed=args.seed + 2)
+
+    model, variables = build_deeplab(args)
+
+    restart_epoch = 0
+    lowest_val_loss = float("inf")
+    if args.load_model:
+        path = os.path.join(args.model_root_path, args.checkpoint_name)
+        variables, meta = load_seg_checkpoint(path)
+        restart_epoch = int(meta.get("epoch", -1)) + 1
+        if "val_loss" in meta:
+            lowest_val_loss = float(meta["val_loss"])
+        logger.info("loaded %s, resume from epoch %d", path, restart_epoch)
+
+    state = create_seg_state(model, variables, learning_rate=args.lr)
+    state = replicate(mesh, state)
+    train_step = make_seg_train_step(ignore_index=args.ignore_index,
+                                     label_hw=(256, 512), base_lr=args.lr,
+                                     dropout_seed=args.seed)
+    eval_step = build_seg_eval_step(model, num_classes=args.num_classes,
+                                    ignore_index=args.ignore_index,
+                                    label_hw=(256, 512))
+    scheduler = ReduceLROnPlateau(mode="min")
+
+    os.makedirs(args.model_root_path, exist_ok=True)
+    for epoch in range(restart_epoch, restart_epoch + args.epochs):
+        print(f"--------START TRAINING [EPOCH: {epoch}]--------")
+        train_loss = AverageMeter("train_loss", ":3.4f")
+        images_per_sec = AverageMeter("img/s", ":5.1f")
+        progress = ProgressMeter(len(train_loader), [train_loss, images_per_sec],
+                                 prefix=f"Epoch: [{epoch}]")
+        last = time.perf_counter()
+        for i, batch in enumerate(train_loader):
+            if args.max_steps and i >= args.max_steps:
+                break
+            image, label = shard_batch(mesh, (jnp.asarray(batch["image"]),
+                                              jnp.asarray(batch["label"])))
+            state, loss = train_step(state, image, label)
+            if i % args.log_interval == 0:
+                loss_val = float(loss)  # host sync only at log points
+                now = time.perf_counter()
+                train_loss.update(loss_val, image.shape[0])
+                images_per_sec.update(
+                    image.shape[0] * args.log_interval / max(now - last, 1e-9))
+                last = now
+                progress.display(i, logger)
+
+        mean_iu, val_loss, class_iou = seg_validate(
+            model, state.variables, val_loader, num_classes=args.num_classes,
+            ignore_index=args.ignore_index, eval_step=eval_step)
+        scale = scheduler.step(val_loss)
+        state = state.replace(lr_scale=jnp.asarray(scale, jnp.float32))
+
+        if val_loss < lowest_val_loss:
+            msg = f"val loss reduced from {lowest_val_loss} to {val_loss}! Saving..."
+            lowest_val_loss = val_loss
+            save_seg_checkpoint(
+                os.path.join(args.model_root_path, args.new_checkpoint_name),
+                jax.device_get(state.variables), epoch=epoch, val_loss=lowest_val_loss)
+        else:
+            msg = "Model not improved."
+        print(msg); logger.info(msg)
+        print("mean iou score: " + str(mean_iu)); logger.info("mean iou score: %s", mean_iu)
+        for k, v in class_iou.items():
+            line = f"source valid set class {k}: {v}"
+            logger.info(line); print(line)
+
+        mean_iu, val_loss, class_iou = seg_validate(
+            model, state.variables, target_val_loader, num_classes=13,
+            ignore_index=args.ignore_index, eval_step=eval_step)
+        line = "target test dataset mean iou score: " + str(mean_iu)
+        logger.info(line); print(line)
+        for k, v in class_iou.items():
+            line = f"target set class {k}: {v}"
+            logger.info(line); print(line)
+    return state
+
+
+def main(argv=None):
+    args = seg_parse().parse_args(argv)
+    args.logdir = os.path.join("logs", args.new_checkpoint_name.replace(".pth", ""))
+    os.makedirs(args.logdir, exist_ok=True)
+    logger = get_logger(args.logdir)
+    seg_main(args, logger)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Checkpointing with the reference's schema capabilities.
+
+The reference writes torch.save dicts with flow-specific keys (SURVEY.md §5):
+  - seg:        {'epoch', 'sem_net_state_dict', 'val_loss'}
+  - GAN:        {'epoch', 'net_g_s2t_state_dict', ..., 6 nets}
+  - self-train: adds {'highest_mean_iu', 'objective_vectors'}
+  - prototypes: a bare [13, 256] tensor
+
+Here checkpoints are msgpack files (flax.serialization) holding a dict of
+pytrees plus scalar metadata, written atomically. Unlike the reference,
+optimizer state IS checkpointed (restart-safe; documented divergence —
+the reference silently reinitializes Adam moments on resume).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Dict
+
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy(tree):
+    import jax
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
+    """Atomically write a dict of pytrees/scalars to ``path`` (msgpack)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = serialization.msgpack_serialize(_to_numpy(payload))
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)))
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def maybe_load_torch_checkpoint(path: str):
+    """Load a reference ``torch.save`` checkpoint if torch is available.
+
+    Returns the raw dict (state_dicts as tensors) or raises ImportError.
+    """
+    import torch  # local import: torch is a conversion-only dependency
+
+    return torch.load(path, map_location="cpu", weights_only=False)

@@ -1,0 +1,120 @@
+"""Dataset list-file writers replicating the reference directory grammar.
+
+The reference datasets lazily write ``image_list/*.txt`` manifests on first
+use (utils/misc.py:186-301). The exact path-derivation rules (label path by
+string substitution, glob patterns per dataset) are reproduced so existing
+dataset trees work unchanged, with deterministic sorted ordering (os.walk
+order is filesystem-dependent in the reference; we sort).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Tuple
+
+
+def _walk_files(root: str) -> List[str]:
+    out: List[str] = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for filename in sorted(filenames):
+            out.append(os.path.join(dirpath, filename))
+    return sorted(out)
+
+
+def freiburg_lists(root: str, split: str, domain: str, time: str = "day") -> Tuple[str, str]:
+    """Write (and return paths of) Freiburg data/label list files.
+
+    Grammar (utils/misc.py:236-278):
+      test:  <root>/test/<time>/Images<domain>/**  with labels under
+             SegmentationClass, '_<domain>.png' -> '_rgb.npy'
+      train: IR  -> <root>/train/seq_*_<time>/*/fl_ir_aligned/*.png,
+                    labels via 'ir_aligned' -> 'rgb_labels'
+             RGB -> <root>/train/seq_*_<time>/*/fl_rgb/*.png,
+                    labels via 'rgb' -> 'rgb_labels'
+    """
+    list_dir = os.path.join(root, "image_list")
+    os.makedirs(list_dir, exist_ok=True)
+    data_file = os.path.join(list_dir, f"{split}_{domain}_data.txt")
+    label_file = os.path.join(list_dir, f"{split}_{domain}_label.txt")
+
+    data_paths: List[str] = []
+    label_paths: List[str] = []
+    if split == "test":
+        im_dir = os.path.join(root, split, time, "Images" + domain)
+        for path in _walk_files(im_dir):
+            data_paths.append(path)
+            label_paths.append(
+                path.replace("Images" + domain, "SegmentationClass")
+                .replace("_" + domain.lower() + ".png", "_rgb.npy"))
+    elif split == "train":
+        if domain == "IR":
+            files = sorted(glob.glob(os.path.join(root, "train", f"seq_*_{time}", "*", "fl_ir_aligned", "*.png")))
+            for f in files:
+                data_paths.append(f)
+                label_paths.append(f.replace("ir_aligned", "rgb_labels"))
+        else:
+            files = sorted(glob.glob(os.path.join(root, "train", f"seq_*_{time}", "*", "fl_rgb", "*.png")))
+            for f in files:
+                data_paths.append(f)
+                label_paths.append(f.replace("rgb", "rgb_labels"))
+    else:
+        raise ValueError(f"invalid split {split!r}")
+
+    with open(data_file, "w") as f:
+        f.write("".join(p + "\n" for p in data_paths))
+    with open(label_file, "w") as f:
+        f.write("".join(p + "\n" for p in label_paths))
+    return data_file, label_file
+
+
+def cityscapes_list(root: str, data_folder: str, split: str,
+                    list_root: str = "datasets/source_dataset") -> str:
+    """Write the Cityscapes manifest (utils/misc.py:186-208 grammar).
+
+    ``data_folder`` is 'leftImg8bit', 'translation', or 'gtFine_labelIds';
+    only gtFine files ending in 'gtFine_labelIds.png' are listed for labels.
+    The manifest lands under ``list_root``/image_list like the reference.
+    """
+    im_dir = os.path.join(root, data_folder, split)
+    list_dir = os.path.join(list_root, "image_list")
+    os.makedirs(list_dir, exist_ok=True)
+    list_path = os.path.join(list_dir, f"{data_folder}_{split}.txt")
+    paths = _walk_files(im_dir)
+    if data_folder == "gtFine_labelIds":
+        paths = [p for p in paths if p.endswith("gtFine_labelIds.png")]
+    with open(list_path, "w") as f:
+        f.write("".join(p + "\n" for p in paths))
+    return list_path
+
+
+def kitti_list(root: str) -> str:
+    """KITTI raw images: <root>/2011_09_*/2011_09_*/image_02/data/*.png."""
+    list_dir = os.path.join(root, "image_list")
+    os.makedirs(list_dir, exist_ok=True)
+    list_path = os.path.join(list_dir, "kitti_data.txt")
+    files = sorted(glob.glob(os.path.join(root, "2011_09_*", "2011_09_*", "image_02", "data", "*.png")))
+    with open(list_path, "w") as f:
+        f.write("".join(p + "\n" for p in files))
+    return list_path
+
+
+def flir_list(root: str, split: str, data_folder: str = "images") -> str:
+    """FLIR ADAS train/test manifests (utils/misc.py:211-233 grammar)."""
+    if split == "train":
+        im_dir = os.path.join(root, split)
+        list_path = os.path.join(root, "image_list", "train.txt")
+    elif split == "test":
+        im_dir = os.path.join(root, split, data_folder)
+        list_path = os.path.join(root, "image_list", f"test_{data_folder}.txt")
+    else:
+        raise ValueError("path does not exist.")
+    os.makedirs(os.path.dirname(list_path), exist_ok=True)
+    with open(list_path, "w") as f:
+        f.write("".join(p + "\n" for p in _walk_files(im_dir)))
+    return list_path
+
+
+def parse_list_file(path: str) -> List[str]:
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]

@@ -1,0 +1,99 @@
+"""Batched, prefetching data loader.
+
+Replaces ``torch.utils.data.DataLoader(num_workers=2, pin_memory=True)`` with a
+thread-pool loader: per-sample deterministic RNG (seed, epoch, index), numpy
+collation, optional subset sampling (the reference's SubsetRandomSampler
+80/20 split, segmentation_train.py:129-139), and pipelined batch prefetch so
+host decode overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from ..core.prng import host_rng
+
+
+def default_collate(samples: Sequence[dict]) -> dict:
+    out = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], dict):  # e.g. weak_params
+            out[key] = default_collate(vals)
+        elif isinstance(vals[0], (str, bytes)):
+            out[key] = list(vals)
+        else:
+            out[key] = np.stack([np.asarray(v) for v in vals])
+    return out
+
+
+def split_indices(n: int, validation_split: float = 0.2, seed: int = 42):
+    """The reference's 80/20 split: np.random.seed(42) shuffle then slice
+    (segmentation_train.py:129-135). Returns (train_indices, val_indices)."""
+    indices = np.arange(n)
+    rs = np.random.RandomState(seed)
+    rs.shuffle(indices)
+    split = int(np.floor(validation_split * n))
+    return indices[split:].tolist(), indices[:split].tolist()
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
+                 indices: Optional[Sequence[int]] = None, drop_last: bool = True,
+                 seed: int = 0, num_threads: int = 8,
+                 collate: Callable = default_collate, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.indices = list(indices) if indices is not None else list(range(len(dataset)))
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = num_threads
+        self.collate = collate
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self):
+        order = list(self.indices)
+        if self.shuffle:
+            host_rng(self.seed, self.epoch).shuffle(order)
+        bs = self.batch_size
+        limit = len(order) - (len(order) % bs) if self.drop_last else len(order)
+        for start in range(0, limit, bs):
+            yield order[start:start + bs]
+
+    def __iter__(self) -> Iterator[dict]:
+        epoch = self.epoch
+        self.epoch += 1
+
+        def fetch(idx: int) -> dict:
+            rng = host_rng(self.seed, epoch, idx)
+            return self.dataset.get(idx, rng)
+
+        with cf.ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+            pending = []
+            batch_iter = self._batches()
+
+            def submit_next():
+                try:
+                    batch_idx = next(batch_iter)
+                except StopIteration:
+                    return False
+                pending.append([pool.submit(fetch, i) for i in batch_idx])
+                return True
+
+            for _ in range(self.prefetch + 1):
+                if not submit_next():
+                    break
+            while pending:
+                futures = pending.pop(0)
+                samples = [f.result() for f in futures]
+                submit_next()
+                yield self.collate(samples)

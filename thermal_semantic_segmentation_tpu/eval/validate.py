@@ -1,0 +1,64 @@
+"""Segmentation validation — the metric path the build must match.
+
+Equivalent of ``seg_validate`` (segmentation_evaluate.py:24-80): batch
+inference, align-corners upsample to (256, 512), argmax, confusion-matrix
+accumulation, then (mean_iu, val_loss, cls_iu) with the iu[:11] Freiburg rule.
+The confusion matrix accumulates on device; only one (C, C) transfer happens
+at the end. Optional palette-PNG prediction dumps match the reference layout
+(<save_root>/<i>_prediction.png / _image.png / _groundtruth.png).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..data.palette import colorize_prediction, freiburg_palette
+from ..train.seg import build_seg_eval_step
+from .metrics import SegScores, scores_from_hist
+
+
+def seg_validate(model, variables, loader, *, num_classes: int = 13,
+                 ignore_index: int = 12, label_hw=(256, 512),
+                 visualize: Optional[str] = None, save_root: Optional[str] = None,
+                 iter_counter: int = 0, eval_step=None):
+    """Returns (mean_iu, val_loss, cls_iu) like the reference seg_validate.
+
+    ``visualize``: None | 'save_all' | 'save_one' (reference flag values).
+    ``eval_step``: pass a prebuilt jitted step to reuse compilation across calls.
+    """
+    if eval_step is None:
+        eval_step = build_seg_eval_step(model, num_classes=num_classes,
+                                        ignore_index=ignore_index, label_hw=label_hw)
+    hist = jnp.zeros((num_classes, num_classes), jnp.float32)
+    loss_sum, n_seen = 0.0, 0
+    palette = freiburg_palette()
+    for i, batch in enumerate(loader):
+        image = jnp.asarray(batch["image"])
+        label = jnp.asarray(batch["label"])
+        bhist, loss, pred = eval_step(variables, image, label)
+        hist = hist + bhist
+        bs = image.shape[0]
+        loss_sum += float(loss) * bs
+        n_seen += bs
+        if visualize is not None and save_root:
+            os.makedirs(save_root, exist_ok=True)
+            if visualize == "save_all" or (visualize == "save_one" and i == 0):
+                pred0 = np.asarray(pred[0])
+                suffix = f"_{iter_counter}" if visualize == "save_one" else ""
+                colorize_prediction(pred0, palette).save(
+                    os.path.join(save_root, f"{i}_prediction{suffix}.png"))
+                colorize_prediction(np.asarray(label[0]), palette).save(
+                    os.path.join(save_root, f"{i}_groundtruth.png"))
+                img0 = np.asarray(image[0])
+                img8 = np.clip(img0 * 255.0, 0, 255).astype(np.uint8)
+                from PIL import Image
+                Image.fromarray(img8.squeeze(-1) if img8.shape[-1] == 1 else img8).save(
+                    os.path.join(save_root, f"{i}_image.png"))
+
+    scores: SegScores = scores_from_hist(np.asarray(hist))
+    val_loss = loss_sum / max(n_seen, 1)
+    return scores.mean_iu, val_loss, scores.cls_iu

@@ -29,14 +29,15 @@ class DeepLabV2(nn.Module):
     num_channels: int = 3
     head: str = "module2"           # 'module2' | 'legacy'
     bn_clr: bool = False            # extra BN on the 2048-ch feature (bn_clr flag)
+    layers: tuple = (3, 4, 23, 3)   # ResNet-101 by default; override for tests
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         """x: (N, H, W, num_channels) -> {'feat': (N,H/8,W/8,256), 'out': (N,H/8,W/8,C)}"""
         x = x.astype(self.dtype)
-        feat = ResNetBackbone(num_channels=self.num_channels, dtype=self.dtype,
-                              name="backbone")(x, train=train)
+        feat = ResNetBackbone(layers=self.layers, num_channels=self.num_channels,
+                              dtype=self.dtype, name="backbone")(x, train=train)
         if self.bn_clr:
             feat = nn.BatchNorm(use_running_average=not train,
                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
@@ -55,15 +56,25 @@ class DeepLabV2(nn.Module):
 
 def create_deeplab(rng: jax.Array, *, num_classes: int = 13, num_channels: int = 1,
                    head: str = "module2", bn_clr: bool = False,
-                   dtype: Any = jnp.float32, image_size=(256, 512)):
+                   layers=(3, 4, 23, 3), dtype: Any = jnp.float32,
+                   image_size=(256, 512), abstract: bool = False):
     """Build the model and initialize variables.
 
     Returns (model, variables) where variables = {'params', 'batch_stats'}.
+
+    init is jitted: un-jitted flax init dispatches each of the ~350 ops as its
+    own XLA computation, which is minutes of round-trips on a tunneled TPU.
+    ``abstract=True`` skips device work entirely (jax.eval_shape) — use it when
+    a checkpoint will overwrite the variables.
     """
     model = DeepLabV2(num_classes=num_classes, num_channels=num_channels,
-                      head=head, bn_clr=bn_clr, dtype=dtype)
-    dummy = jnp.zeros((1, *image_size, num_channels), jnp.float32)
-    variables = model.init({"params": rng}, dummy, train=False)
+                      head=head, bn_clr=bn_clr, layers=tuple(layers), dtype=dtype)
+    dummy = jax.ShapeDtypeStruct((1, *image_size, num_channels), jnp.float32)
+    init = lambda r, x: model.init({"params": r}, x, train=False)
+    if abstract:
+        variables = jax.eval_shape(init, rng, dummy)
+    else:
+        variables = jax.jit(init)(rng, jnp.zeros(dummy.shape, dummy.dtype))
     return model, variables
 
 

@@ -29,7 +29,8 @@ def max_pool_ceil(x: jax.Array, window: int = 3, stride: int = 2, padding: int =
         ow -= 1
     pad_h_hi = (oh - 1) * stride + window - h - padding
     pad_w_hi = (ow - 1) * stride + window - w - padding
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf init keeps this on the differentiable reduce_window_max primitive
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
         neg,
