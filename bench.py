@@ -1,0 +1,79 @@
+"""Headline benchmark: DeepLabV2-ResNet101 seg-training throughput on TPU.
+
+Measures the fused jitted train step (forward + align-corners logits upsample
++ masked CE + backward + Adam + BN updates) at the reference recipe's shapes
+(256x512 thermal input, segmentation_train.py:46,90) in bfloat16 compute.
+
+Prints ONE JSON line:
+  {"metric": "seg_train_images_per_sec_per_chip", "value": N,
+   "unit": "images/s", "vs_baseline": N}
+
+vs_baseline: the reference publishes no throughput (BASELINE.md) — its GPU is
+unspecified and unavailable here. We anchor against 20 images/s, an
+order-of-magnitude figure for DeepLabV2-ResNet101 training at this resolution
+on a contemporary single GPU (V100-class, fp32), which is the class of
+hardware the reference targeted. BASELINE.json's target is >5x that anchor.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+from thermal_semantic_segmentation_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from thermal_semantic_segmentation_tpu.train.seg import create_seg_state, make_seg_train_step
+
+BASELINE_IMAGES_PER_SEC = 20.0
+BATCH = 16
+HW = (256, 512)
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main():
+    mesh = make_mesh()
+    n_chips = mesh.size
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    model, variables = create_deeplab(
+        jax.random.key(0), num_classes=13, num_channels=1, dtype=jnp.bfloat16,
+        image_size=HW)
+    state = replicate(mesh, create_seg_state(model, variables, learning_rate=1e-4))
+    step = make_seg_train_step(ignore_index=12, label_hw=HW, base_lr=1e-4)
+
+    rng = np.random.default_rng(0)
+    image = rng.uniform(0, 1, size=(BATCH, *HW, 1)).astype(np.float32)
+    label = rng.integers(0, 13, size=(BATCH, *HW)).astype(np.int64)
+    image, label = shard_batch(mesh, (jnp.asarray(image), jnp.asarray(label)))
+
+    for _ in range(WARMUP_STEPS):
+        state, loss = step(state, image, label)
+    float(loss)  # axon caveat: block_until_ready does not reliably wait over
+    # the tunnel; a host fetch is the only trustworthy sync barrier.
+
+    start = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, loss = step(state, image, label)
+    final_loss = float(loss)  # sync
+    elapsed = time.perf_counter() - start
+
+    images_per_sec = BATCH * MEASURE_STEPS / elapsed
+    per_chip = images_per_sec / n_chips
+    print(f"loss={final_loss:.4f} elapsed={elapsed:.3f}s chips={n_chips}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "seg_train_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "images/s",
+        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
