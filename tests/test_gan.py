@@ -1,0 +1,158 @@
+"""GAN stack tests: canny parity vs reference torch oracle, net shapes,
+ImagePool statistics, and a two-step training smoke."""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from thermal_semantic_segmentation_tpu.models.factory import (
+    init_gan_net, patchgan, resnet_6, unet_32, unet_256)
+from thermal_semantic_segmentation_tpu.nn.canny import canny_edges
+from thermal_semantic_segmentation_tpu.ops.image_pool import ImagePool
+from thermal_semantic_segmentation_tpu.train.gan import (
+    create_gan_state, gan_to_seg_tensor, make_gan_steps)
+
+torch = pytest.importorskip("torch")
+
+
+def _load_reference_canny():
+    """Import the reference net_canny as an oracle (scipy.signal.gaussian moved
+    to scipy.signal.windows in modern scipy; shim it)."""
+    import scipy.signal
+    import scipy.signal.windows
+    if not hasattr(scipy.signal, "gaussian"):
+        scipy.signal.gaussian = scipy.signal.windows.gaussian
+    spec = importlib.util.spec_from_file_location(
+        "_ref_canny", "/root/reference/models/net_canny.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_canny"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("channels,threshold", [(1, 1.0), (3, 2.5)])
+def test_canny_matches_reference(channels, threshold):
+    """Parity at batch=1 only: the reference NMS gather omits the batch offset
+    (net_canny.py:131-137), so for batch>=2 it reads sample 0's directional
+    responses for every sample — a bug we deliberately do not reproduce."""
+    ref = _load_reference_canny()
+    batch = 1
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, size=(batch, channels, 32, 48)).astype(np.float32) * 100
+    model = ref.Canny("cpu", batch_size=batch, threshold=threshold,
+                      num_channel=channels)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x)).numpy()       # (N,1,H,W)
+    got = np.asarray(canny_edges(jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                 threshold=threshold))   # (N,H,W,1)
+    got = got.transpose(0, 3, 1, 2)
+    # NMS is a hard threshold on continuous values: tolerate rare borderline flips
+    mismatch = np.abs(got - want) > 1e-3
+    assert mismatch.mean() < 0.01, f"{mismatch.mean():.4f} of pixels differ"
+
+
+def test_canny_batch_agnostic():
+    """The reference gather breaks on partial batches (net_canny.py:131-137);
+    ours must not."""
+    rng = np.random.default_rng(1)
+    for bs in (1, 3, 5):
+        x = jnp.asarray(rng.uniform(0, 100, size=(bs, 16, 16, 1)).astype(np.float32))
+        out = canny_edges(x, threshold=1.0)
+        assert out.shape == (bs, 16, 16, 1)
+
+
+def test_unet_generator_shapes():
+    model = unet_32(ngf=8, output_nc=1)
+    variables = init_gan_net(model, jax.random.key(0), (1, 32, 64, 3))
+    y = model.apply(variables, jnp.zeros((2, 32, 64, 3)), train=False,
+                    mutable=False)
+    assert y.shape == (2, 32, 64, 1)
+    assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh output
+
+
+def test_unet256_full_size():
+    model = unet_256(ngf=8, output_nc=1)
+    variables = init_gan_net(model, jax.random.key(0), (1, 256, 512, 3))
+    y = model.apply(variables, jnp.zeros((1, 256, 512, 3)), train=False,
+                    mutable=False)
+    assert y.shape == (1, 256, 512, 1)
+
+
+def test_resnet_generator_shapes():
+    model = resnet_6(ngf=8, output_nc=3)
+    variables = init_gan_net(model, jax.random.key(0), (1, 32, 64, 1))
+    y = model.apply(variables, jnp.zeros((2, 32, 64, 1)), train=False,
+                    mutable=False)
+    assert y.shape == (2, 32, 64, 3)
+
+
+def test_patchgan_patch_map():
+    model = patchgan(ndf=8)
+    variables = init_gan_net(model, jax.random.key(0), (1, 64, 128, 1))
+    y = model.apply(variables, jnp.zeros((2, 64, 128, 1)), train=False,
+                    mutable=False)
+    # 3 stride-2 convs then two stride-1 k4/p1 convs (each shaves one row/col):
+    # 64x128 -> 8x16 -> 7x15 -> 6x14 patch score map (matches torch layout)
+    assert y.shape == (2, 6, 14, 1)
+
+
+def test_image_pool_statistics():
+    pool = ImagePool(50, seed=0)
+    first = np.ones((4, 2, 2, 1), np.float32)
+    out = pool.query(first)
+    np.testing.assert_array_equal(out, first)  # pool not full: passthrough
+    # fill the pool
+    for i in range(20):
+        pool.query(np.full((4, 2, 2, 1), float(i + 2), np.float32))
+    assert pool.num_imgs == 50
+    fresh = np.full((64, 2, 2, 1), 99.0, np.float32)
+    out = pool.query(fresh)
+    frac_fresh = (out == 99.0).all(axis=(1, 2, 3)).mean()
+    assert 0.2 < frac_fresh < 0.8  # ~50% swap rate
+
+
+def test_gan_to_seg_tensor():
+    x = jnp.zeros((1, 4, 4, 3))  # denorm -> 0.5 -> 127.5
+    y = np.asarray(gan_to_seg_tensor(x, "source"))
+    np.testing.assert_allclose(y[..., 0], 127.5 - 104.00698793, rtol=1e-5)
+    np.testing.assert_allclose(y[..., 2], 127.5 - 122.67891434, rtol=1e-5)
+    y1 = np.asarray(gan_to_seg_tensor(jnp.zeros((1, 4, 4, 1)), "target"))
+    np.testing.assert_allclose(y1[..., 0], 127.5 - 116.66876762, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_cyclegan_two_steps():
+    key = jax.random.key(0)
+    g_s2t = unet_32(ngf=8, output_nc=1)
+    g_t2s = unet_32(ngf=8, output_nc=3)
+    d_t = patchgan(ndf=8)
+    d_s = patchgan(ndf=8)
+    g_vars = {"s2t": init_gan_net(g_s2t, key, (1, 32, 64, 3)),
+              "t2s": init_gan_net(g_t2s, key, (1, 32, 64, 1))}
+    d_vars = {"t": init_gan_net(d_t, key, (1, 32, 64, 1)),
+              "s": init_gan_net(d_s, key, (1, 32, 64, 3))}
+    state = create_gan_state(g_vars=g_vars, d_vars=d_vars, learning_rate=1e-4)
+    g_step, d_step = make_gan_steps(
+        g_apply={"s2t": g_s2t.apply, "t2s": g_t2s.apply},
+        d_apply={"t": d_t.apply, "s": d_s.apply},
+        cycle=True, with_contour=True)
+
+    rng = np.random.default_rng(0)
+    real_s = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 3)).astype(np.float32))
+    real_t = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 1)).astype(np.float32))
+
+    pool_s, pool_t = ImagePool(50), ImagePool(50)
+    for _ in range(2):
+        state, metrics, outs = g_step(state, real_s, real_t)
+        fake_s = jnp.asarray(pool_s.query(outs["fake_s"]))
+        fake_t = jnp.asarray(pool_t.query(outs["fake_t"]))
+        state, d_metrics = d_step(state, {"s": real_s, "t": real_t},
+                                  {"s": fake_s, "t": fake_t})
+    for k, v in {**metrics, **d_metrics}.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert int(state.step) == 2

@@ -1,0 +1,176 @@
+"""GAN translation training entry point (reference main.py / main_gan.py).
+
+``-cycle true`` (default) trains the full CycleGAN (2 generators, 2
+discriminators, cycle losses — main.py/train.py); ``-cycle false`` trains the
+one-direction s2t GAN (main_gan.py/train_gan.py). Optional contour (Canny) and
+semantic-consistency losses mirror the reference flags.
+
+Usage: python -m thermal_semantic_segmentation_tpu.cli.main [flags]
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import load_checkpoint, save_checkpoint
+from ..data import transforms as T
+from ..data.cityscapes import Cityscapes
+from ..data.freiburg import Freiburg
+from ..data.loader import DataLoader
+from ..data.simple import FlirTrain, Kitti
+from ..models.factory import (deeplabv2_resnet101, deeplabv2_resnet101_thermal,
+                              init_gan_net, patchgan, unet_256)
+from ..ops.image_pool import ImagePool
+from ..train.gan import GanTrainState, create_gan_state, make_gan_steps
+from ..utils.meters import AverageMeter, ProgressMeter
+from .options import train_parse
+
+
+def _gan_transform(normalize):
+    mean = tuple(normalize)
+    return T.Compose([
+        T.RandomResizedCrop(size=(256, 512), ratio=(1.5, 8 / 3.), scale=(0.5, 1.0)),
+        T.RandomHorizontalFlip(),
+        T.ToArray(),
+        T.Normalize(mean, mean),
+    ])
+
+
+def build_gan_datasets(args):
+    src_tf = _gan_transform(args.normalize)
+    tgt_tf = _gan_transform((0.5,))
+    if args.source_dataset == "Cityscapes":
+        source = Cityscapes(args.source_root, transforms=src_tf)
+    elif args.source_dataset == "freiburg_rgb":
+        source = Freiburg(args.freiburg_root, "train", "RGB", transforms=src_tf,
+                          with_label=True, grayscale=args.grayscale)
+    elif args.source_dataset == "kitti":
+        source = Kitti(args.kitti_root, src_tf, grayscale=args.grayscale)
+    else:
+        raise ValueError("source dataset does not exist.")
+    if args.target_dataset == "flir":
+        target = FlirTrain(args.flir_root, tgt_tf)
+    elif args.target_dataset == "freiburg_ir":
+        target = Freiburg(args.freiburg_root, "train", "IR", transforms=tgt_tf,
+                          with_label=False)
+    else:
+        raise ValueError("target dataset does not exist.")
+    return source, target
+
+
+def gan_main(args):
+    key = jax.random.key(args.seed)
+    source, target = build_gan_datasets(args)
+    src_loader = DataLoader(source, args.batch_size, shuffle=True,
+                            drop_last=True, seed=args.seed)
+    tgt_loader = DataLoader(target, args.batch_size, shuffle=True,
+                            drop_last=True, seed=args.seed + 1)
+
+    s_nc, t_nc = args.s2t_input_nc, args.t2s_input_nc
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    g_s2t = unet_256(ngf=64, input_nc=s_nc, output_nc=t_nc, dtype=dtype)
+    d_t = patchgan(input_nc=t_nc, dtype=dtype)
+    nets = {"g": {"s2t": g_s2t}, "d": {"t": d_t}}
+    g_vars = {"s2t": init_gan_net(g_s2t, key, (1, 256, 512, s_nc))}
+    d_vars = {"t": init_gan_net(d_t, key, (1, 256, 512, t_nc))}
+    if args.cycle:
+        g_t2s = unet_256(ngf=64, input_nc=t_nc, output_nc=s_nc, dtype=dtype)
+        d_s = patchgan(input_nc=s_nc, dtype=dtype)
+        nets["g"]["t2s"], nets["d"]["s"] = g_t2s, d_s
+        g_vars["t2s"] = init_gan_net(g_t2s, key, (1, 256, 512, t_nc))
+        d_vars["s"] = init_gan_net(d_s, key, (1, 256, 512, s_nc))
+
+    sem_apply = sem_vars = None
+    if args.sem_loss:
+        # frozen legacy seg nets (main.py:80-81); the reference fetches
+        # pretrained weights from a model zoo URL — here they load from the
+        # resumed checkpoint or start randomly initialized.
+        sem_s = deeplabv2_resnet101(num_classes=19, dtype=dtype)
+        sem_t = deeplabv2_resnet101_thermal(num_classes=19, dtype=dtype)
+        sem_apply = {"s": sem_s.apply, "t": sem_t.apply}
+        sem_vars = {"s": init_gan_net(sem_s, key, (1, 64, 128, 3)),
+                    "t": init_gan_net(sem_t, key, (1, 64, 128, 1))}
+
+    restart_epoch = 0
+    ckpt_path = os.path.join(args.gan_model_root_path, args.checkpoint_name)
+    if args.load_model:
+        ckpt = load_checkpoint(ckpt_path)
+        restart_epoch = int(ckpt["epoch"])
+        g_vars = {k: ckpt["g_vars"][k] for k in g_vars}
+        d_vars = {k: ckpt["d_vars"][k] for k in d_vars}
+        if args.sem_loss and "sem_vars" in ckpt:
+            sem_vars = ckpt["sem_vars"]
+        print(f"loading trained model. start from epoch {restart_epoch}.")
+
+    state = create_gan_state(g_vars=g_vars, d_vars=d_vars, learning_rate=args.lr)
+    g_step, d_step = make_gan_steps(
+        g_apply={k: m.apply for k, m in nets["g"].items()},
+        d_apply={k: m.apply for k, m in nets["d"].items()},
+        cycle=args.cycle, with_contour=args.with_contour,
+        grayscale_source=args.grayscale,
+        canny_rgb_threshold=args.canny_rgb_threshold,
+        canny_thermal_threshold=args.canny_thermal_threshold,
+        sem_apply=sem_apply)
+
+    pools = {k: ImagePool(50, seed=args.seed + i)
+             for i, k in enumerate(nets["d"])}
+
+    os.makedirs(args.gan_model_root_path, exist_ok=True)
+    print("--------START TRAINING--------")
+    for epoch in range(restart_epoch, restart_epoch + args.num_epoch):
+        print(f"--------EPOCH {epoch}--------")
+        meters = {k: AverageMeter(k, ":3.4f")
+                  for k in ("g_s2t", "g_t2s", "d_s", "d_t", "cycle_s", "cycle_t",
+                            "con_s2t", "con_t2s")}
+        n_batches = min(len(src_loader), len(tgt_loader))
+        progress = ProgressMeter(n_batches, list(meters.values()),
+                                 prefix=f"Epoch: [{epoch}]")
+        for i, (s_batch, t_batch) in enumerate(zip(src_loader, tgt_loader)):
+            if args.max_steps and i >= args.max_steps:
+                break
+            real_s = jnp.asarray(s_batch["image"])
+            real_t = jnp.asarray(t_batch["image"])
+            label_s = jnp.asarray(s_batch["label"]) if (
+                args.sem_loss and "label" in s_batch) else None
+            state, metrics, outs = g_step(state, real_s, real_t, label_s,
+                                          sem_vars, with_sem=args.sem_loss)
+            reals = {"t": real_t}
+            fakes = {"t": jnp.asarray(pools["t"].query(outs["fake_t"]))}
+            if args.cycle:
+                reals["s"] = real_s
+                fakes["s"] = jnp.asarray(pools["s"].query(outs["fake_s"]))
+            state, d_metrics = d_step(state, reals, fakes)
+            if i % args.log_interval == 0:
+                vals = {k: float(v) for k, v in {**metrics, **d_metrics}.items()}
+                for k, v in vals.items():
+                    if k in meters:
+                        meters[k].update(v, real_s.shape[0])
+                progress.display(i)
+
+        save_checkpoint(ckpt_path if args.new_checkpoint_name == args.checkpoint_name
+                        else os.path.join(args.gan_model_root_path,
+                                          args.new_checkpoint_name),
+                        {"epoch": epoch,
+                         "g_vars": _materialize_gan_vars(state, g_vars, "g"),
+                         "d_vars": _materialize_gan_vars(state, d_vars, "d")})
+    return state
+
+
+def _materialize_gan_vars(state: GanTrainState, template, which):
+    params = state.g_params if which == "g" else state.d_params
+    stats = state.g_stats if which == "g" else state.d_stats
+    return {k: {"params": jax.tree.map(np.asarray, params[k]),
+                "batch_stats": jax.tree.map(np.asarray, stats[k])}
+            for k in template}
+
+
+def main(argv=None):
+    gan_main(train_parse().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Offline dataset translation (reference translator.py:15-68).
+
+Loads a trained generator from a GAN checkpoint, translates every image of the
+chosen dataset, de-normalizes, resizes to ``save_image_size`` and writes the
+image next to the dataset under the translation folder name. (The reference
+file is truncated — its loop creates directories but never calls ``.save()``,
+translator.py:60-68; this implementation completes the capability.)
+
+Usage: python -m thermal_semantic_segmentation_tpu.cli.translator [flags]
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core.checkpoint import load_checkpoint
+from ..data import transforms as T
+from ..data.cityscapes import Cityscapes
+from ..data.freiburg import Freiburg
+from ..data.loader import DataLoader
+from ..models.factory import init_gan_net, unet_256
+from .options import translation_parse
+
+
+def translate(args):
+    # UNet-256 needs dims divisible by 2^8: translate at the canonical 256x512
+    # (the truncated reference translator feeds raw 700x320 images, which
+    # cannot pass its own U-Net's skip concats), then resize to save size.
+    tf = T.Compose([T.Resize((512, 256)), T.ToArray(),
+                    T.Normalize(tuple(args.normalize), tuple(args.normalize))])
+    if args.dataset == "Cityscapes":
+        dataset = Cityscapes(args.source_root, transforms=tf, train_mode=False)
+    elif args.dataset == "freiburg_rgb":
+        dataset = Freiburg(args.freiburg_root, "train", "RGB", transforms=tf,
+                           with_label=False, grayscale=args.grayscale,
+                           translation_mode=True)
+    else:
+        raise ValueError("dataset does not exist.")
+
+    loader = DataLoader(dataset, args.batch_size, shuffle=False, drop_last=False)
+
+    model = unet_256(ngf=64, input_nc=args.input_nc, output_nc=args.output_nc)
+    variables = init_gan_net(model, jax.random.key(0),
+                             (1, 256, 512, args.input_nc))
+    ckpt = load_checkpoint(os.path.join(args.gan_model_root_path,
+                                        args.checkpoint_name))
+    key = "s2t" if args.generator_type == "s2t" else "t2s"
+    variables = ckpt["g_vars"][key]
+
+    @jax.jit
+    def run(variables, image):
+        return model.apply(variables, image, train=False, mutable=False)
+
+    denorm = np.asarray(args.denormalize, np.float32)
+    for batch in loader:
+        # datasets in translation mode return the destination path per image
+        paths = batch.get("img_path")
+        image = jnp.asarray(batch["image"])
+        fake = np.asarray(run(variables, image))
+        fake = np.clip((fake * denorm + denorm) * 255.0, 0, 255).astype(np.uint8)
+        for k in range(fake.shape[0]):
+            out_path = paths[k]
+            if args.translation_name_suffix:
+                base, ext = os.path.splitext(out_path)
+                out_path = f"{base}_{args.translation_name_suffix}{ext}"
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            arr = fake[k].squeeze(-1) if fake.shape[-1] == 1 else fake[k]
+            img = Image.fromarray(arr)
+            img = img.resize((args.save_image_size[1], args.save_image_size[0]),
+                             Image.BICUBIC)
+            img.save(out_path)
+    print("translation complete.")
+
+
+def main(argv=None):
+    translate(translation_parse().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,7 @@ class Freiburg:
     def __init__(self, root: str, split: str, domain: str, *,
                  transforms: Optional[Callable] = None, with_label: bool = True,
                  grayscale: bool = False, segmentation_mode: bool = False,
+                 translation_mode: bool = False,
                  translation_name: str = "translation", self_train: bool = False,
                  augmentations: Optional[Callable] = None,
                  path_soft: Optional[str] = None, path_lp: Optional[str] = None,
@@ -81,6 +82,7 @@ class Freiburg:
         self.with_label = with_label
         self.grayscale = grayscale
         self.segmentation_mode = segmentation_mode
+        self.translation_mode = translation_mode
         self.translation_name = translation_name
         self.self_train = self_train
         self.augmentations = augmentations
@@ -111,6 +113,14 @@ class Freiburg:
         out = {"img_path": only_img_name}
 
         image = self._load_image(image_name)
+
+        if self.translation_mode:
+            # offline translator: destination path swaps split -> translation
+            # folder (data/freiburg_dataset.py:144-147)
+            img, _ = self.transforms(rng, image, None)
+            out["image"] = img
+            out["img_path"] = image_name.replace(str(self.split), self.translation_name)
+            return out
 
         if not self.with_label:
             img, _ = self.transforms(rng, image, None)

@@ -1,0 +1,139 @@
+"""CycleGAN generator zoo: U-Net (5/7/8 downs) and ResNet (6/9 blocks), NHWC.
+
+Behavioral spec: models/generators.py. The reference builds the U-Net as a
+recursive module chain (UnetSkipConnectionBlock, :168-235); here the identical
+dataflow is written as an explicit encoder/decoder loop with skip concats —
+same convs, same channel schedule, XLA-friendly static structure.
+
+ConvTranspose k4/s2/p1 doubles spatial dims exactly like torch
+(out = (H-1)*2 - 2 + 4 = 2H) via explicit ((1,1),(1,1)) padding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .norms import make_norm
+
+_GAIN_INIT = nn.initializers.normal(stddev=0.02)  # init_weights 'normal' 0.02
+
+
+def _conv(features, k, s, pad, use_bias, name):
+    return nn.Conv(features, (k, k), strides=(s, s), padding=[(pad, pad)] * 2,
+                   use_bias=use_bias, kernel_init=_GAIN_INIT, name=name)
+
+
+def _convT(features, use_bias, name, k=4):
+    # 'SAME' on a stride-2 transpose conv yields exactly 2H, matching torch
+    # ConvTranspose2d(k=4,s=2,p=1) and (k=3,s=2,p=1,output_padding=1) geometry.
+    return nn.ConvTranspose(features, (k, k), strides=(2, 2), padding="SAME",
+                            use_bias=use_bias, kernel_init=_GAIN_INIT, name=name)
+
+
+class UnetGenerator(nn.Module):
+    """U-Net with ``num_downs`` stride-2 stages; input must be divisible by
+    2**num_downs (unet_256 -> 8 downs on 256x*, models/generators.py:136-165)."""
+
+    output_nc: int = 3
+    num_downs: int = 8
+    ngf: int = 64
+    norm: str = "batch"
+    use_dropout: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        norm_fn, use_bias = make_norm(self.norm, train=train, dtype=self.dtype)
+        g = self.ngf
+        filters = [g, 2 * g, 4 * g] + [8 * g] * (self.num_downs - 3)
+        x = x.astype(self.dtype)
+
+        # encoder; ys[d] is the input to decoder stage d's skip concat
+        ys = []
+        h = _conv(filters[0], 4, 2, 1, True, "down0")(x)   # outermost: conv only
+        ys.append(h)
+        for d in range(1, self.num_downs):
+            h = nn.leaky_relu(h, 0.2)
+            h = _conv(filters[d], 4, 2, 1, use_bias, f"down{d}")(h)
+            if d < self.num_downs - 1:                      # innermost has no norm
+                h = norm_fn(f"down{d}_norm")(h)
+                ys.append(h)
+
+        # decoder with skip concats (reverse order)
+        for d in range(self.num_downs - 1, 0, -1):
+            h = nn.relu(h)
+            h = _convT(filters[d - 1], use_bias, f"up{d}")(h)
+            h = norm_fn(f"up{d}_norm")(h)
+            if self.use_dropout and d > 3 and d < self.num_downs - 1:
+                h = nn.Dropout(0.5, deterministic=not train, name=f"up{d}_drop")(h)
+            h = jnp.concatenate([ys[d - 1], h], axis=-1)
+        h = nn.relu(h)
+        h = _convT(self.output_nc, True, "up0")(h)
+        return jnp.tanh(h)
+
+
+class ResnetBlock(nn.Module):
+    dim: int
+    norm: str = "batch"
+    use_dropout: bool = False
+    use_bias: bool = False
+    padding_type: str = "reflect"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        norm_fn, _ = make_norm(self.norm, train=train, dtype=self.dtype)
+
+        def pad(h):
+            if self.padding_type in ("reflect", "replicate"):
+                mode = "reflect" if self.padding_type == "reflect" else "edge"
+                return jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+            return h
+
+        p = 1 if self.padding_type == "zero" else 0
+        y = _conv(self.dim, 3, 1, p, self.use_bias, "conv1")(pad(x))
+        y = nn.relu(norm_fn("norm1")(y))
+        if self.use_dropout:
+            y = nn.Dropout(0.5, deterministic=not train, name="drop")(y)
+        y = _conv(self.dim, 3, 1, p, self.use_bias, "conv2")(pad(y))
+        y = norm_fn("norm2")(y)
+        return x + y
+
+
+class ResnetGenerator(nn.Module):
+    """Reflection-padded 7x7 stem, 2 downs, n ResNet blocks, 2 ups
+    (models/generators.py:74-133)."""
+
+    output_nc: int = 3
+    ngf: int = 64
+    n_blocks: int = 9
+    norm: str = "batch"
+    use_dropout: bool = False
+    padding_type: str = "reflect"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        norm_fn, use_bias = make_norm(self.norm, train=train, dtype=self.dtype)
+        x = x.astype(self.dtype)
+        h = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        h = _conv(self.ngf, 7, 1, 0, use_bias, "stem")(h)
+        h = nn.relu(norm_fn("stem_norm")(h))
+        for i in range(2):
+            mult = 2 ** i
+            h = _conv(self.ngf * mult * 2, 3, 2, 1, use_bias, f"down{i}")(h)
+            h = nn.relu(norm_fn(f"down{i}_norm")(h))
+        for i in range(self.n_blocks):
+            h = ResnetBlock(self.ngf * 4, norm=self.norm, use_dropout=self.use_dropout,
+                            use_bias=use_bias, padding_type=self.padding_type,
+                            dtype=self.dtype, name=f"block{i}")(h, train=train)
+        for i in range(2):
+            mult = 2 ** (2 - i)
+            h = _convT(int(self.ngf * mult / 2), use_bias, f"up{i}", k=3)(h)
+            h = nn.relu(norm_fn(f"up{i}_norm")(h))
+        h = jnp.pad(h, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        h = _conv(self.output_nc, 7, 1, 0, True, "head")(h)
+        return jnp.tanh(h)

@@ -1,0 +1,227 @@
+"""GAN translation training (CycleGAN and one-direction variants).
+
+Re-design of the reference trainers (train.py:87-262, train_gan.py:87-186) as
+two jitted steps with an explicit host boundary at the ImagePool:
+
+  g_step: all generator forwards (fake/rec), GAN + cycle + contour + semantic
+          losses, one Adam update over the chained generator params — D params
+          are read-only inside (the functional equivalent of
+          set_requires_grad(d, False), train.py:153-154).
+  d_step: PatchGAN real/fake losses on pool-mixed fakes, one Adam update over
+          the chained discriminator params.
+
+Quirk notes vs the reference:
+- train.py:186-189 ``.detach()``es BOTH sides of the contour loss, making it a
+  constant; here the gradient flows through the generated image (the real-image
+  side stays stopped). Set ``contour_detached=True`` for bug-compatible no-op.
+- train.py:201 uses an undefined ``label_s`` (crashes upstream); the semantic
+  loss here implements the working train_gan.py:126 semantics.
+- D's BatchNorm running stats update only in d_step (the reference lets G's
+  forward through D mutate them as a side effect).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses import GAN_LOSSES, l1_loss, semantic_consistency
+from ..nn.canny import canny_edges
+from ..ops.resize import upsample_logits
+
+
+class GanTrainState(struct.PyTreeNode):
+    step: jax.Array
+    g_params: Dict[str, Any]
+    g_stats: Dict[str, Any]
+    d_params: Dict[str, Any]
+    d_stats: Dict[str, Any]
+    opt_g: Any
+    opt_d: Any
+    tx_g: optax.GradientTransformation = struct.field(pytree_node=False)
+    tx_d: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def create_gan_state(*, g_vars: Dict[str, Any], d_vars: Dict[str, Any],
+                     learning_rate: float) -> GanTrainState:
+    """g_vars/d_vars: name -> flax variables ({'params', 'batch_stats'?})."""
+    g_params = {k: v["params"] for k, v in g_vars.items()}
+    g_stats = {k: v.get("batch_stats", {}) for k, v in g_vars.items()}
+    d_params = {k: v["params"] for k, v in d_vars.items()}
+    d_stats = {k: v.get("batch_stats", {}) for k, v in d_vars.items()}
+    tx_g = optax.adam(learning_rate)
+    tx_d = optax.adam(learning_rate)
+    return GanTrainState(step=jnp.zeros((), jnp.int32),
+                         g_params=g_params, g_stats=g_stats,
+                         d_params=d_params, d_stats=d_stats,
+                         opt_g=tx_g.init(g_params), opt_d=tx_d.init(d_params),
+                         tx_g=tx_g, tx_d=tx_d)
+
+
+def _gray(x: jax.Array) -> jax.Array:
+    """torchvision Grayscale luminance weights on NHWC RGB."""
+    if x.shape[-1] == 1:
+        return x
+    w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    return jnp.tensordot(x, w, axes=[[-1], [0]])[..., None]
+
+
+def gan_to_seg_tensor(x: jax.Array, domain: str) -> jax.Array:
+    """tensor_transmit (train.py:60-75): de-normalize a GAN tensor
+    (mean=std=0.5) to [0,255] and re-normalize for the legacy seg nets
+    (BGR + mean subtract for source RGB, mean subtract for target thermal)."""
+    x = (x * 0.5 + 0.5) * 255.0
+    if domain == "source":
+        x = x[..., ::-1] - jnp.asarray([104.00698793, 116.66876762, 122.67891434])
+    elif domain == "target":
+        x = x - jnp.asarray([116.66876762])
+    else:
+        raise ValueError(domain)
+    return x
+
+
+def make_gan_steps(*, g_apply: Dict[str, Callable], d_apply: Dict[str, Callable],
+                   cycle: bool = True, gan_loss: str = "lsgan",
+                   cycle_weight: float = 10.0,
+                   with_contour: bool = False, grayscale_source: bool = False,
+                   canny_rgb_threshold: float = 2.5,
+                   canny_thermal_threshold: float = 1.0,
+                   contour_detached: bool = False,
+                   sem_apply: Optional[Dict[str, Callable]] = None,
+                   sem_ignore_classes: Tuple[int, ...] = ()):
+    """Build (g_step, d_step).
+
+    g_apply: {'s2t': apply_fn, 't2s': apply_fn?}; d_apply: {'t': ..., 's': ...?}
+    sem_apply: {'s': apply_fn, 't': apply_fn} frozen legacy seg nets (optional).
+    """
+    adv = GAN_LOSSES[gan_loss]
+
+    def apply_net(apply_fn, params, stats, x, want_stats):
+        out, mut = apply_fn({"params": params, "batch_stats": stats}, x,
+                            train=True, mutable=["batch_stats"])
+        return (out, mut["batch_stats"]) if want_stats else (out, stats)
+
+    @functools.partial(jax.jit, static_argnames=("with_sem",), donate_argnums=0)
+    def g_step(state: GanTrainState, real_s, real_t, label_s=None,
+               sem_vars=None, *, with_sem: bool = False):
+        def loss_fn(g_params):
+            metrics = {}
+            new_stats = {}
+            fake_t, new_stats["s2t"] = apply_net(
+                g_apply["s2t"], g_params["s2t"], state.g_stats["s2t"], real_s, True)
+            outs = {"fake_t": fake_t}
+            loss_g_s2t, _ = adv_on_d("t", fake_t)
+            metrics["g_s2t"] = loss_g_s2t
+            loss = loss_g_s2t
+
+            if cycle:
+                rec_s, stats_t2s = apply_net(
+                    g_apply["t2s"], g_params["t2s"], state.g_stats["t2s"], fake_t, True)
+                fake_s, stats_t2s = apply_net(
+                    g_apply["t2s"], g_params["t2s"], stats_t2s, real_t, True)
+                rec_t, new_stats["s2t"] = apply_net(
+                    g_apply["s2t"], g_params["s2t"], new_stats["s2t"], fake_s, True)
+                new_stats["t2s"] = stats_t2s
+                outs["fake_s"] = fake_s
+                loss_g_t2s, _ = adv_on_d("s", fake_s)
+                loss_cycle_s = l1_loss(rec_s, real_s) * cycle_weight
+                loss_cycle_t = l1_loss(rec_t, real_t) * cycle_weight
+                metrics.update(g_t2s=loss_g_t2s, cycle_s=loss_cycle_s,
+                               cycle_t=loss_cycle_t)
+                loss = loss + loss_g_t2s + loss_cycle_s + loss_cycle_t
+
+            if with_contour:
+                src_gray = real_s if grayscale_source else _gray(real_s)
+                contour_real_s = jax.lax.stop_gradient(
+                    canny_edges(src_gray, threshold=canny_rgb_threshold))
+                contour_real_t = jax.lax.stop_gradient(
+                    canny_edges(real_t, threshold=canny_thermal_threshold))
+                fake_t_edges = canny_edges(fake_t, threshold=canny_thermal_threshold)
+                if contour_detached:
+                    fake_t_edges = jax.lax.stop_gradient(fake_t_edges)
+                loss_contour_s2t = l1_loss(contour_real_s, fake_t_edges)
+                metrics["con_s2t"] = loss_contour_s2t
+                loss = loss + loss_contour_s2t
+                if cycle:
+                    fake_s_gray = outs["fake_s"] if grayscale_source else _gray(outs["fake_s"])
+                    fake_s_edges = canny_edges(fake_s_gray, threshold=canny_rgb_threshold)
+                    if contour_detached:
+                        fake_s_edges = jax.lax.stop_gradient(fake_s_edges)
+                    loss_contour_t2s = l1_loss(contour_real_t, fake_s_edges)
+                    metrics["con_t2s"] = loss_contour_t2s
+                    loss = loss + loss_contour_t2s
+
+            if with_sem:
+                h, w = real_s.shape[1], real_s.shape[2]
+                pred_fake_t = upsample_logits(
+                    sem_apply["t"](sem_vars["t"],
+                                   gan_to_seg_tensor(fake_t, "target"))["out"], h, w)
+                loss_sem_s2t = semantic_consistency(
+                    pred_fake_t, label_s, ignore_classes=sem_ignore_classes)
+                metrics["sem_s2t"] = loss_sem_s2t
+                loss = loss + loss_sem_s2t
+                if cycle:
+                    pred_real_t = upsample_logits(
+                        sem_apply["t"](sem_vars["t"],
+                                       gan_to_seg_tensor(real_t, "target"))["out"], h, w)
+                    pred_fake_s = upsample_logits(
+                        sem_apply["s"](sem_vars["s"],
+                                       gan_to_seg_tensor(outs["fake_s"], "source"))["out"], h, w)
+                    loss_sem_t2s = semantic_consistency(
+                        pred_fake_s, jnp.argmax(pred_real_t, -1),
+                        ignore_classes=sem_ignore_classes)
+                    metrics["sem_t2s"] = loss_sem_t2s
+                    loss = loss + loss_sem_t2s
+
+            return loss, (metrics, outs, new_stats)
+
+        def adv_on_d(which, fake):
+            # D params are closed over read-only: no gradient, no stat update.
+            out, _ = d_apply[which]({"params": state.d_params[which],
+                                     "batch_stats": state.d_stats[which]},
+                                    fake, train=True, mutable=["batch_stats"])
+            return adv(out, True), out
+
+        (loss, (metrics, outs, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.g_params)
+        updates, new_opt_g = state.tx_g.update(grads, state.opt_g, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        g_stats = dict(state.g_stats)
+        g_stats.update(new_stats)
+        state = state.replace(step=state.step + 1, g_params=g_params,
+                              g_stats=g_stats, opt_g=new_opt_g)
+        metrics["loss_g"] = loss
+        return state, metrics, outs
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def d_step(state: GanTrainState, reals: Dict[str, jax.Array],
+               pooled_fakes: Dict[str, jax.Array]):
+        def loss_fn(d_params):
+            metrics = {}
+            new_stats = {}
+            total = 0.0
+            for which, real in reals.items():
+                out_real, stats = apply_net(
+                    d_apply[which], d_params[which], state.d_stats[which], real, True)
+                out_fake, stats = apply_net(
+                    d_apply[which], d_params[which], stats,
+                    jax.lax.stop_gradient(pooled_fakes[which]), True)
+                loss_d = 0.5 * (adv(out_real, True) + adv(out_fake, False))
+                metrics[f"d_{which}"] = loss_d
+                new_stats[which] = stats
+                total = total + loss_d
+            return total, (metrics, new_stats)
+
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.d_params)
+        updates, new_opt_d = state.tx_d.update(grads, state.opt_d, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        state = state.replace(d_params=d_params, d_stats=new_stats, opt_d=new_opt_d)
+        return state, metrics
+
+    return g_step, d_step
