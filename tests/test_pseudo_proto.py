@@ -1,0 +1,78 @@
+"""Pseudo-label generation + prototype computation (library level)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+from thermal_semantic_segmentation_tpu.train.prototypes import calc_prototypes
+from thermal_semantic_segmentation_tpu.train.pseudo import generate_pseudo_labels
+
+TINY = dict(num_classes=13, num_channels=1, layers=(1, 1, 1, 1), image_size=(64, 128))
+
+
+class FakeLoader:
+    def __init__(self, n_batches=2, bs=2, seed=0):
+        self.n_batches = n_batches
+        self.bs = bs
+        self.seed = seed
+
+    def __len__(self):
+        return self.n_batches
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        for i in range(self.n_batches):
+            yield {
+                "image": rng.uniform(0, 1, (self.bs, 64, 128, 1)).astype(np.float32),
+                "img_path": [f"im_{i}_{k}.png" for k in range(self.bs)],
+            }
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    return create_deeplab(jax.random.key(0), **TINY)
+
+
+def test_generate_hard_pseudo_labels(tiny, tmp_path):
+    model, variables = tiny
+    n = generate_pseudo_labels(model, variables, FakeLoader(),
+                               save_path=str(tmp_path), soft=False, flip=False)
+    assert n == 4
+    files = sorted(os.listdir(tmp_path))
+    assert "im_0_0.png" in files and "im_0_0_color.png" in files
+    assert "im_0_0_conf.npy" in files
+    png = np.array(Image.open(tmp_path / "im_0_0.png"))
+    conf = np.load(tmp_path / "im_0_0_conf.npy")
+    assert png.shape == conf.shape == (9, 17)  # stride-8 (ceil-mode) of 64x128
+
+
+def test_generate_soft_and_flip(tiny, tmp_path):
+    model, variables = tiny
+    generate_pseudo_labels(model, variables, FakeLoader(), soft=True,
+                           save_path=str(tmp_path / "soft"))
+    soft = np.load(tmp_path / "soft" / "im_0_0.npy")
+    assert soft.shape[0] == 13  # channel-first like the reference .npy format
+    np.testing.assert_allclose(soft.sum(0), 1.0, rtol=1e-4)
+
+    generate_pseudo_labels(model, variables, FakeLoader(), soft=False, flip=True,
+                           save_path=str(tmp_path / "flip"))
+    png = np.array(Image.open(tmp_path / "flip" / "im_0_0.png"))
+    assert png.shape == (64, 128)  # flip TTA path upsamples to input res
+
+
+def test_calc_prototypes(tiny):
+    model, variables = tiny
+    protos, counts = calc_prototypes(model, variables, FakeLoader(),
+                                     num_classes=13)
+    assert protos.shape == (13, 256)
+    assert counts.sum() > 0
+    # prototypes for classes that appeared are nonzero
+    for c in range(13):
+        if counts[c] > 0:
+            assert np.abs(protos[c]).sum() > 0

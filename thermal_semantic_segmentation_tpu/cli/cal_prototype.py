@@ -1,0 +1,69 @@
+"""Class-prototype computation entry point (reference cal_prototype.py).
+
+Saves the (num_classes, 256) prototype array under
+<root>/prototypes/prototypes_on_<dataset>_from_<checkpoint> like the reference
+(cal_prototype.py:78-82), in msgpack format.
+
+Usage: python -m thermal_semantic_segmentation_tpu.cli.cal_prototype [flags]
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from ..core.checkpoint import save_checkpoint
+from ..data import transforms as T
+from ..data.freiburg import Freiburg
+from ..data.loader import DataLoader
+from ..data.simple import FlirTrain
+from ..models.deeplab import create_deeplab
+from ..train.prototypes import calc_prototypes
+from ._common import load_seg_checkpoint
+from .options import calc_proto_parse
+
+
+def prototype_path(root: str, dataset: str, checkpoint_name: str) -> str:
+    return os.path.join(root, "prototypes",
+                        f"prototypes_on_{dataset}_from_{checkpoint_name.replace('.pth', '')}")
+
+
+def calc_prototype(args):
+    tf = T.Compose([T.Resize((512, 256)), T.ToArray()])
+    if args.dataset == "flir":
+        dataset = FlirTrain(args.flir_root, tf)
+    elif args.dataset == "freiburg_ir":
+        dataset = Freiburg(args.freiburg_root, "train", "IR", transforms=tf,
+                           with_label=False)
+    else:
+        raise ValueError("target dataset does not exist.")
+    loader = DataLoader(dataset, args.batch_size, shuffle=True, drop_last=True,
+                        seed=args.seed)
+
+    num_channels = 1 if args.net_mode == "one_channel" else 3
+    model, _ = create_deeplab(jax.random.key(args.seed),
+                              num_classes=args.num_classes,
+                              num_channels=num_channels, abstract=True)
+    variables, _meta = load_seg_checkpoint(
+        os.path.join(args.model_root_path, args.checkpoint_name))
+
+    prototypes, counts = calc_prototypes(model, variables, loader,
+                                         num_classes=args.num_classes,
+                                         epochs=args.epochs,
+                                         max_steps=args.max_steps)
+    out_path = prototype_path(args.root, args.dataset, args.checkpoint_name)
+    print("saving prototypes......")
+    save_checkpoint(out_path, {"objective_vectors": np.asarray(prototypes),
+                               "counts": np.asarray(counts)})
+    print(f"saved to {out_path}")
+    return prototypes
+
+
+def main(argv=None):
+    calc_prototype(calc_proto_parse().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+"""Pseudo-label generation entry point (reference generate_pseudo_label.py).
+
+Usage: python -m thermal_semantic_segmentation_tpu.cli.generate_pseudo_label [flags]
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..data.loader import DataLoader
+from ..train.pseudo import generate_pseudo_labels
+from ._common import build_seg_dataset, load_seg_checkpoint, val_transform
+from .options import pseudo_generation_parse
+
+
+def main(argv=None):
+    args = pseudo_generation_parse().parse_args(argv)
+    args.net_mode = "one_channel"
+    args.num_classes = 13
+
+    from ..models.deeplab import create_deeplab
+    import jax
+    model, _ = create_deeplab(jax.random.key(args.seed), num_classes=13,
+                              num_channels=1, abstract=True)
+    variables, _meta = load_seg_checkpoint(
+        os.path.join(args.model_root_path, args.checkpoint_name))
+
+    dataset = build_seg_dataset(args, val_transform())
+    loader = DataLoader(dataset, args.batch_size, shuffle=False, drop_last=False)
+
+    save_path = os.path.join(args.root, "pseudo_labels", args.pseudo_type,
+                             args.checkpoint_name.replace(".pth", ""))
+    n = generate_pseudo_labels(model, variables, loader, save_path=save_path,
+                               soft=args.soft, flip=args.flip,
+                               max_steps=args.max_steps)
+    print(f"wrote pseudo labels for {n} images to {save_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Self-training entry point (reference self_train_main.py:18-140).
+
+Consumes the artifacts of cli.generate_pseudo_label (soft + hard pseudo
+labels) and cli.cal_prototype (class prototypes), then runs the prototype-
+rectified self-training loop with an EMA teacher, validating on Freiburg-IR
+test every ``--val_interval`` steps and checkpointing best/last.
+
+Usage: python -m thermal_semantic_segmentation_tpu.cli.self_train_main [flags]
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import load_checkpoint
+from ..core.schedule import ReduceLROnPlateau
+from ..data import transforms as T
+from ..data.freiburg import Freiburg, FreiburgTest
+from ..data.loader import DataLoader
+from ..data.self_train_aug import SelfTrainAugment
+from ..eval.validate import seg_validate
+from ..models.deeplab import create_deeplab
+from ..train.seg import build_seg_eval_step
+from ..train.self_train import create_self_train_state, make_self_train_step
+from ..utils.logging import get_logger
+from ..utils.meters import AverageMeter, ProgressMeter
+from ._common import load_seg_checkpoint, save_seg_checkpoint, train_transform, val_transform
+from .cal_prototype import prototype_path
+from .options import self_train_parse
+
+
+def self_train_main(args, logger):
+    source_dataset = Freiburg(args.freiburg_root, "train", "RGB",
+                              translation_name=args.translation_name,
+                              segmentation_mode=True, transforms=train_transform())
+    target_dataset = Freiburg(
+        args.freiburg_root, "train", "IR", segmentation_mode=True,
+        self_train=args.self_train,
+        augmentations=SelfTrainAugment(args.resize, tuple(args.rcrop), args.hflip),
+        path_soft=args.path_soft, path_lp=args.path_lp,
+        threshold=args.threshold, ignore_index=args.ignore_index,
+        proto_rectify=args.proto_rectify)
+    target_val_dataset = FreiburgTest(args.freiburg_root, "test", "IR",
+                                      transforms=val_transform(), with_label=True)
+
+    src_loader = DataLoader(source_dataset, args.batch_size, shuffle=True,
+                            drop_last=True, seed=args.seed)
+    tgt_loader = DataLoader(target_dataset, args.batch_size, shuffle=True,
+                            drop_last=True, seed=args.seed + 1)
+    val_loader = DataLoader(target_val_dataset, args.batch_size, shuffle=False,
+                            drop_last=False, seed=args.seed + 2)
+
+    model, variables = create_deeplab(jax.random.key(args.seed),
+                                      num_classes=args.num_classes,
+                                      num_channels=1, abstract=args.load_model)
+    restart_epoch = 0
+    if args.load_model:
+        variables, meta = load_seg_checkpoint(
+            os.path.join(args.model_root_path, args.checkpoint_name))
+        restart_epoch = int(meta.get("epoch", -1)) + 1
+        logger.info("loaded %s, resume from epoch %d", args.checkpoint_name,
+                    restart_epoch)
+
+    proto_ckpt = load_checkpoint(
+        prototype_path(args.root, args.target_dataset, args.checkpoint_name))
+    prototypes = np.asarray(proto_ckpt["objective_vectors"])
+
+    state = create_self_train_state(model, variables, prototypes=prototypes,
+                                    learning_rate=args.lr,
+                                    num_classes=args.num_classes)
+    step = make_self_train_step(
+        model, num_classes=args.num_classes, ignore_index=args.ignore_index,
+        base_lr=args.lr, proto_temperature=args.proto_temperature,
+        train_thred=args.train_thred, rce=args.rce, rce_alpha=args.rce_alpha,
+        rce_beta=args.rce_beta, proto_rectify=args.proto_rectify, ema=args.ema,
+        moving_prototype=args.moving_prototype,
+        proto_momentum=args.proto_momentum,
+        label_hw=(args.rcrop[1], args.rcrop[0]), dropout_seed=args.seed)
+    eval_step = build_seg_eval_step(model, num_classes=args.num_classes,
+                                    ignore_index=args.ignore_index)
+    scheduler = ReduceLROnPlateau(mode="min")  # reference feeds mean_iu to a
+    # 'min' plateau scheduler (self_train_main.py:67,117) — kept for parity.
+
+    highest_mean_iu = args.initial_best_miou
+    os.makedirs(os.path.join(args.root, args.model_root_path), exist_ok=True)
+
+    def save(tag: str, epoch: int):
+        save_seg_checkpoint(
+            os.path.join(args.root, args.model_root_path,
+                         tag + args.new_checkpoint_name),
+            jax.device_get(state.variables), epoch=epoch,
+            highest_mean_iu=highest_mean_iu,
+            objective_vectors=np.asarray(state.prototypes))
+
+    for epoch in range(restart_epoch, restart_epoch + args.epochs):
+        pseudo_loss = AverageMeter("pseudo_loss", ":3.4f")
+        s_loss = AverageMeter("s_loss", ":3.4f")
+        progress = ProgressMeter(len(tgt_loader), [pseudo_loss, s_loss],
+                                 prefix=f"Epoch: [{epoch}]")
+        for i, (t_batch, s_batch) in enumerate(zip(tgt_loader, src_loader)):
+            if args.max_steps and i >= args.max_steps:
+                break
+            wp = t_batch["weak_params"]
+            state, loss_pseudo, loss_source = step(
+                state,
+                jnp.asarray(s_batch["image"]),
+                jnp.asarray(s_batch["label"]),
+                jnp.asarray(t_batch["image"]),
+                jnp.asarray(t_batch["image_full"]),
+                jnp.asarray(t_batch["label_soft"]) if "label_soft" in t_batch else None,
+                jnp.asarray(t_batch["label_hard"]),
+                {k: jnp.asarray(v) for k, v in wp.items()})
+            if i % 10 == 0:
+                pseudo_loss.update(float(loss_pseudo), args.batch_size)
+                s_loss.update(float(loss_source), args.batch_size)
+                progress.display(i, logger)
+
+            if i % args.val_interval == 0 or i == len(tgt_loader) - 1:
+                mean_iu, val_loss, class_iou = seg_validate(
+                    model, state.variables, val_loader,
+                    num_classes=args.num_classes,
+                    ignore_index=args.ignore_index, eval_step=eval_step,
+                    visualize=args.visualize_prediction,
+                    save_root=os.path.join(args.root, "predictions",
+                                           args.new_checkpoint_name.replace(".pth", "")),
+                    iter_counter=args.iter_counter)
+                msg = "target test dataset mean iou score: " + str(mean_iu)
+                logger.info(msg); print(msg)
+                for k, v in class_iou.items():
+                    line = f"target set class {k}: {v}"
+                    logger.info(line); print(line)
+                scale = scheduler.step(mean_iu)
+                state = state.replace(lr_scale=jnp.asarray(scale, jnp.float32))
+                if mean_iu > highest_mean_iu:
+                    highest_mean_iu = mean_iu
+                    print(f"mean iou improved to {mean_iu}! Saving...")
+                    save("best", epoch)
+                else:
+                    print("Model not improved.")
+            args.iter_counter += 1
+        save("last", epoch)
+    return state
+
+
+def main(argv=None):
+    parser = self_train_parse()
+    parser.add_argument("--initial_best_miou", type=float, default=0.0,
+                        help="save threshold (the reference hardcodes 0.52, "
+                             "self_train_main.py:53).")
+    args = parser.parse_args(argv)
+    if not args.path_soft:
+        args.path_soft = os.path.join(args.root, "pseudo_labels", args.pseudo_type,
+                                      args.checkpoint_name.replace(".pth", ""))
+    if not args.path_lp:
+        args.path_lp = os.path.join(args.root, "pseudo_labels", "hard",
+                                    args.checkpoint_name.replace(".pth", ""))
+    args.logdir = os.path.join("logs", "self-training",
+                               args.new_checkpoint_name.replace(".pth", ""))
+    os.makedirs(args.logdir, exist_ok=True)
+    logger = get_logger(args.logdir)
+    self_train_main(args, logger)
+
+
+if __name__ == "__main__":
+    main()

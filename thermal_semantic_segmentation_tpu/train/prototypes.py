@@ -1,0 +1,48 @@
+"""Class-prototype computation over a frozen segmenter
+(reference cal_prototype.py:21-169).
+
+Per batch one jitted call produces per-sample per-class masked feature means
+(MXU one-hot matmul) and folds them into the running prototypes in-graph —
+replacing the reference's per-(sample, class) Python loop with .item() syncs
+(cal_prototype.py:131-144). Update mode is 'mean' (running average), matching
+calc_prototype's explicit 'mean' argument (cal_prototype.py:75).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.class_means import fold_prototypes, masked_class_means
+
+
+def make_prototype_step(model, *, num_classes: int, feat_dim: int = 256):
+    @jax.jit
+    def step(variables, prototypes, counts, images):
+        out = model.apply(variables, images, train=False)
+        vectors, valid = masked_class_means(out["feat"], out["out"],
+                                            num_classes=num_classes)
+        return fold_prototypes(prototypes, counts, vectors, valid, mode="mean")
+
+    return step
+
+
+def calc_prototypes(model, variables, loader, *, num_classes: int = 13,
+                    feat_dim: int = 256, epochs: int = 1,
+                    max_steps: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (prototypes (C, F), counts (C,)) as numpy arrays."""
+    step = make_prototype_step(model, num_classes=num_classes, feat_dim=feat_dim)
+    prototypes = jnp.zeros((num_classes, feat_dim), jnp.float32)
+    counts = jnp.zeros((num_classes,), jnp.float32)
+    for epoch in range(epochs):
+        for i, batch in enumerate(loader):
+            if max_steps and i >= max_steps:
+                break
+            prototypes, counts = step(variables, prototypes, counts,
+                                      jnp.asarray(batch["image"]))
+            if i % 10 == 0:
+                print(f"epoch [{epoch}], prototype calculation: [{i}/{len(loader)}]")
+    return np.asarray(prototypes), np.asarray(counts)

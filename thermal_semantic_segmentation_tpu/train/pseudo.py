@@ -1,0 +1,99 @@
+"""Pseudo-label generation (reference generate_pseudo_label.py:60-96).
+
+Device side: one jitted function computes softmax / argmax / confidence
+(with optional horizontal-flip TTA averaged at input resolution,
+generate_pseudo_label.py:81-84). Host side: PNG/NPY writes stream through a
+thread pool so disk IO overlaps the next batch's compute — the reference
+serializes a per-image .cpu().numpy() + save inside the loop.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.palette import colorize_prediction, freiburg_palette
+from ..ops.resize import resize_bilinear
+
+
+def make_pseudo_fns(model):
+    @jax.jit
+    def soft_fn(variables, images):
+        out = model.apply(variables, images, train=False)
+        return jax.nn.softmax(out["out"].astype(jnp.float32), axis=-1)
+
+    @jax.jit
+    def hard_fn(variables, images):
+        probs = soft_fn(variables, images)
+        conf = jnp.max(probs, axis=-1)
+        pseudo = jnp.argmax(probs, axis=-1)
+        return conf, pseudo
+
+    @jax.jit
+    def hard_flip_fn(variables, images):
+        h, w = images.shape[1:3]
+        probs = resize_bilinear(soft_fn(variables, images), h, w)
+        probs_f = resize_bilinear(soft_fn(variables, images[:, :, ::-1]), h, w)
+        avg = (probs + probs_f[:, :, ::-1]) / 2.0
+        return jnp.max(avg, axis=-1), jnp.argmax(avg, axis=-1)
+
+    return soft_fn, hard_fn, hard_flip_fn
+
+
+def generate_pseudo_labels(model, variables, loader, *, save_path: str,
+                           soft: bool = False, flip: bool = False,
+                           max_steps: int = 0, writer_threads: int = 8):
+    """Run inference over the loader and write pseudo-label artifacts.
+
+    soft: per-image full softmax .npy (channel-first (C, h, w) to match the
+          reference file format consumed by the self-train dataset).
+    hard: argmax PNG + palette-colored PNG + float16 confidence .npy.
+    """
+    os.makedirs(save_path, exist_ok=True)
+    soft_fn, hard_fn, hard_flip_fn = make_pseudo_fns(model)
+    palette = freiburg_palette()
+
+    def write_soft(name: str, probs: np.ndarray):
+        np.save(os.path.join(save_path, name.replace(".png", ".npy")),
+                probs.transpose(2, 0, 1))
+
+    def write_hard(name: str, pseudo: np.ndarray, conf: np.ndarray):
+        from PIL import Image
+        Image.fromarray(pseudo.astype(np.uint8)).save(
+            os.path.join(save_path, name))
+        colorize_prediction(pseudo, palette).save(
+            os.path.join(save_path, name[:-4] + "_color.png"))
+        np.save(os.path.join(save_path, name.replace(".png", "_conf.npy")),
+                conf.astype(np.float16))
+
+    n_written = 0
+    with cf.ThreadPoolExecutor(max_workers=writer_threads) as pool:
+        futures = []
+        for i, batch in enumerate(loader):
+            if max_steps and i >= max_steps:
+                break
+            images = jnp.asarray(batch["image"])
+            names = batch["img_path"]
+            if soft:
+                probs = np.asarray(soft_fn(variables, images))
+                for k in range(images.shape[0]):
+                    futures.append(pool.submit(write_soft, os.path.basename(names[k]),
+                                               probs[k]))
+            else:
+                fn = hard_flip_fn if flip else hard_fn
+                conf, pseudo = fn(variables, images)
+                conf, pseudo = np.asarray(conf), np.asarray(pseudo)
+                for k in range(images.shape[0]):
+                    futures.append(pool.submit(write_hard, os.path.basename(names[k]),
+                                               pseudo[k], conf[k]))
+            n_written += images.shape[0]
+            if i % 100 == 0:
+                print(f"pseudo label generation: [{i}/{len(loader)}]")
+        for f in futures:
+            f.result()
+    return n_written
