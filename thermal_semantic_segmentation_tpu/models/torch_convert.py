@@ -130,6 +130,49 @@ def torch_state_dict_to_flax(state_dict: Mapping[str, "object"]) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def torch_legacy_state_dict_to_flax(state_dict: Mapping[str, "object"]) -> Dict:
+    """Convert a legacy-model state_dict (semantic_segmentation_models.py /
+    thermal_semantic_segmentation_models.py layout: 'backbone.*' +
+    'classifier.conv2d_list.{i}.*') to ``DeepLabV2(head='legacy')`` variables."""
+    params: Dict = {}
+    stats: Dict = {}
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in state_dict.items()}
+
+    def put_bn(prefix_path, torch_prefix):
+        _set(params, prefix_path + ("scale",), _f32(sd[torch_prefix + ".weight"]))
+        _set(params, prefix_path + ("bias",), _f32(sd[torch_prefix + ".bias"]))
+        _set(stats, prefix_path + ("mean",), _f32(sd[torch_prefix + ".running_mean"]))
+        _set(stats, prefix_path + ("var",), _f32(sd[torch_prefix + ".running_var"]))
+
+    _set(params, ("backbone", "conv1", "kernel"), _conv_w(sd["backbone.conv1.weight"]))
+    put_bn(("backbone", "bn1"), "backbone.bn1")
+    block_re = re.compile(r"^backbone\.layer([1-4])\.(\d+)\.(.+)$")
+    for key in sd:
+        m = block_re.match(key)
+        if not m:
+            continue
+        stage, block, rest = m.groups()
+        mod = ("backbone", f"layer{stage}_{block}")
+        if rest.startswith("conv") and rest.endswith(".weight"):
+            _set(params, mod + (rest.split(".")[0], "kernel"), _conv_w(sd[key]))
+        elif rest.startswith("bn") and rest.endswith(".weight"):
+            bn = rest.split(".")[0]
+            put_bn(mod + (bn,), f"backbone.layer{stage}.{block}.{bn}")
+        elif rest == "downsample.0.weight":
+            _set(params, mod + ("downsample_conv", "kernel"), _conv_w(sd[key]))
+        elif rest == "downsample.1.weight":
+            put_bn(mod + ("downsample_bn",),
+                   f"backbone.layer{stage}.{block}.downsample.1")
+    for i in range(4):
+        base = f"classifier.conv2d_list.{i}"
+        if f"{base}.weight" not in sd:
+            continue
+        _set(params, ("layer5", f"branch{i}_conv", "kernel"), _conv_w(sd[f"{base}.weight"]))
+        _set(params, ("layer5", f"branch{i}_conv", "bias"), _f32(sd[f"{base}.bias"]))
+    return {"params": params, "batch_stats": stats}
+
+
 def flax_to_torch_state_dict(variables: Mapping) -> Dict[str, np.ndarray]:
     """Inverse map, for exporting checkpoints back to the reference layout."""
     params = variables["params"]

@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = DATA_AXIS) -> Mesh:
@@ -26,6 +27,32 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = D
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(devices: Optional[Sequence[jax.Device]] = None, *,
+                 spatial: int = 2) -> Mesh:
+    """(data, spatial) mesh: batch dp x width-axis sp. Spatially-sharded convs
+    get their halo exchanges inserted by XLA; use when per-chip batch would
+    drop below 1 or activations exceed HBM at full resolution."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % spatial == 0, (n, spatial)
+    return Mesh(np.asarray(devices).reshape(n // spatial, spatial),
+                (DATA_AXIS, SPATIAL_AXIS))
+
+
+def image_sharding(mesh: Mesh, *, spatial: bool = False) -> NamedSharding:
+    """NHWC image sharding: batch over 'data', optionally W over 'spatial'."""
+    if spatial:
+        return NamedSharding(mesh, P(DATA_AXIS, None, SPATIAL_AXIS, None))
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def label_sharding(mesh: Mesh, *, spatial: bool = False) -> NamedSharding:
+    if spatial:
+        return NamedSharding(mesh, P(DATA_AXIS, None, SPATIAL_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
