@@ -107,3 +107,22 @@ def test_train_step_sharded_over_mesh(tiny_model):
     # params stay replicated after the update
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_lr_groups_head_updates_larger(tiny_model):
+    """1x/10x split: with identical grads scale, head params move ~10x more."""
+    model, variables = tiny_model
+    host_vars = jax.tree.map(np.asarray, variables)
+    results = {}
+    for groups in (False, True):
+        state = create_seg_state(model, jax.tree.map(jnp.asarray, host_vars),
+                                 learning_rate=1e-3, lr_groups=groups)
+        step = make_seg_train_step(ignore_index=12, label_hw=LABEL_HW, base_lr=1e-3)
+        image, label = _batch()
+        before = jax.tree.map(np.asarray, state.params)
+        state, _ = step(state, image, label)
+        delta_head = float(np.abs(np.asarray(
+            state.params["layer5"]["head_conv"]["kernel"]) -
+            before["layer5"]["head_conv"]["kernel"]).mean())
+        results[groups] = delta_head
+    assert results[True] > 3.0 * results[False]

@@ -172,6 +172,22 @@ class ColorJitter:
         return image, label
 
 
+class MultipleApply:
+    """Apply several pipelines to one input, returning all results
+    (utils/transforms.py:12-35): used for multi-view augmentation."""
+
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, rng, image, label=None):
+        views = []
+        for t in self.transforms:
+            seed = int(rng.integers(0, 2 ** 63 - 1))
+            views.append(t(np.random.default_rng(seed), image, label))
+        images = [v[0] for v in views]
+        return images, label
+
+
 class ToArray:
     """PIL -> float32 HWC numpy. uint8 scales to [0,1]; float passes through.
 

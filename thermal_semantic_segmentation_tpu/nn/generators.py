@@ -18,19 +18,35 @@ import jax.numpy as jnp
 
 from .norms import make_norm
 
-_GAIN_INIT = nn.initializers.normal(stddev=0.02)  # init_weights 'normal' 0.02
+def weight_init(init_type: str = "normal", init_gain: float = 0.02):
+    """GAN weight initializers matching utils/misc.py:100-132:
+    normal | xavier | kaiming | orthogonal."""
+    if init_type == "normal":
+        return nn.initializers.normal(stddev=init_gain)
+    if init_type == "xavier":
+        return nn.initializers.xavier_normal()
+    if init_type == "kaiming":
+        return nn.initializers.kaiming_normal()
+    if init_type == "orthogonal":
+        return nn.initializers.orthogonal(scale=init_gain)
+    raise NotImplementedError(
+        f"initialization method [{init_type}] is not implemented")
 
 
-def _conv(features, k, s, pad, use_bias, name):
+_GAIN_INIT = weight_init("normal", 0.02)
+
+
+def _conv(features, k, s, pad, use_bias, name, init=None):
     return nn.Conv(features, (k, k), strides=(s, s), padding=[(pad, pad)] * 2,
-                   use_bias=use_bias, kernel_init=_GAIN_INIT, name=name)
+                   use_bias=use_bias, kernel_init=init or _GAIN_INIT, name=name)
 
 
-def _convT(features, use_bias, name, k=4):
+def _convT(features, use_bias, name, k=4, init=None):
     # 'SAME' on a stride-2 transpose conv yields exactly 2H, matching torch
     # ConvTranspose2d(k=4,s=2,p=1) and (k=3,s=2,p=1,output_padding=1) geometry.
     return nn.ConvTranspose(features, (k, k), strides=(2, 2), padding="SAME",
-                            use_bias=use_bias, kernel_init=_GAIN_INIT, name=name)
+                            use_bias=use_bias, kernel_init=init or _GAIN_INIT,
+                            name=name)
 
 
 class UnetGenerator(nn.Module):
@@ -42,22 +58,25 @@ class UnetGenerator(nn.Module):
     ngf: int = 64
     norm: str = "batch"
     use_dropout: bool = False
+    init_type: str = "normal"
+    init_gain: float = 0.02
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         norm_fn, use_bias = make_norm(self.norm, train=train, dtype=self.dtype)
+        init = weight_init(self.init_type, self.init_gain)
         g = self.ngf
         filters = [g, 2 * g, 4 * g] + [8 * g] * (self.num_downs - 3)
         x = x.astype(self.dtype)
 
         # encoder; ys[d] is the input to decoder stage d's skip concat
         ys = []
-        h = _conv(filters[0], 4, 2, 1, True, "down0")(x)   # outermost: conv only
+        h = _conv(filters[0], 4, 2, 1, True, "down0", init)(x)  # outermost: conv only
         ys.append(h)
         for d in range(1, self.num_downs):
             h = nn.leaky_relu(h, 0.2)
-            h = _conv(filters[d], 4, 2, 1, use_bias, f"down{d}")(h)
+            h = _conv(filters[d], 4, 2, 1, use_bias, f"down{d}", init)(h)
             if d < self.num_downs - 1:                      # innermost has no norm
                 h = norm_fn(f"down{d}_norm")(h)
                 ys.append(h)
@@ -65,13 +84,13 @@ class UnetGenerator(nn.Module):
         # decoder with skip concats (reverse order)
         for d in range(self.num_downs - 1, 0, -1):
             h = nn.relu(h)
-            h = _convT(filters[d - 1], use_bias, f"up{d}")(h)
+            h = _convT(filters[d - 1], use_bias, f"up{d}", init=init)(h)
             h = norm_fn(f"up{d}_norm")(h)
             if self.use_dropout and d > 3 and d < self.num_downs - 1:
                 h = nn.Dropout(0.5, deterministic=not train, name=f"up{d}_drop")(h)
             h = jnp.concatenate([ys[d - 1], h], axis=-1)
         h = nn.relu(h)
-        h = _convT(self.output_nc, True, "up0")(h)
+        h = _convT(self.output_nc, True, "up0", init=init)(h)
         return jnp.tanh(h)
 
 
@@ -113,14 +132,17 @@ class ResnetGenerator(nn.Module):
     norm: str = "batch"
     use_dropout: bool = False
     padding_type: str = "reflect"
+    init_type: str = "normal"
+    init_gain: float = 0.02
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         norm_fn, use_bias = make_norm(self.norm, train=train, dtype=self.dtype)
+        init = weight_init(self.init_type, self.init_gain)
         x = x.astype(self.dtype)
         h = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
-        h = _conv(self.ngf, 7, 1, 0, use_bias, "stem")(h)
+        h = _conv(self.ngf, 7, 1, 0, use_bias, "stem", init)(h)
         h = nn.relu(norm_fn("stem_norm")(h))
         for i in range(2):
             mult = 2 ** i

@@ -40,8 +40,26 @@ class SegTrainState(struct.PyTreeNode):
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
+def _set_learning_rate(opt_state, lr):
+    """Mutate the injected learning rate; handles plain and chained states.
+
+    NOTE: InjectHyperparamsState is itself a NamedTuple, so check for
+    .hyperparams BEFORE unpacking chain tuples.
+    """
+    if hasattr(opt_state, "hyperparams"):
+        opt_state.hyperparams["learning_rate"] = lr
+        return opt_state
+    if isinstance(opt_state, (tuple, list)):
+        for s in opt_state:
+            _set_learning_rate(s, lr)
+    return opt_state
+
+
 def create_seg_state(model, variables, *, learning_rate: float,
-                     optimizer: str = "adam") -> SegTrainState:
+                     optimizer: str = "adam", lr_groups: bool = False,
+                     head_lr_mult: float = 10.0) -> SegTrainState:
+    """lr_groups=True applies the reference's 1x backbone / 10x head LR split
+    (models/deeplabv2.py:319-321) by post-scaling head updates."""
     if optimizer == "adam":
         tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
     elif optimizer == "sgd":
@@ -49,6 +67,10 @@ def create_seg_state(model, variables, *, learning_rate: float,
                                                  momentum=0.9)
     else:
         raise ValueError(optimizer)
+    if lr_groups:
+        from ..models.deeplab import backbone_and_head_masks
+        _, head_mask = backbone_and_head_masks(variables["params"])
+        tx = optax.chain(tx, optax.masked(optax.scale(head_lr_mult), head_mask))
     return SegTrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -78,8 +100,7 @@ def make_seg_train_step(*, ignore_index: int, label_hw: Tuple[int, int] = (256, 
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = base_lr * state.lr_scale
+        opt_state = _set_learning_rate(state.opt_state, base_lr * state.lr_scale)
         updates, new_opt_state = state.tx.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
