@@ -1,0 +1,47 @@
+"""Checkpoint round-trips: sync, async, torch interop."""
+
+import numpy as np
+import pytest
+
+from thermal_semantic_segmentation_tpu.core.checkpoint import (
+    AsyncCheckpointer, load_checkpoint, save_checkpoint)
+
+
+def test_roundtrip(tmp_path):
+    payload = {"epoch": 3, "val_loss": 0.5,
+               "variables": {"params": {"w": np.arange(6.0).reshape(2, 3)}}}
+    p = str(tmp_path / "ck.msgpack")
+    save_checkpoint(p, payload)
+    back = load_checkpoint(p)
+    assert back["epoch"] == 3
+    np.testing.assert_array_equal(back["variables"]["params"]["w"],
+                                  payload["variables"]["params"]["w"])
+
+
+def test_atomic_overwrite(tmp_path):
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, {"v": np.ones(4)})
+    save_checkpoint(p, {"v": np.zeros(4)})
+    np.testing.assert_array_equal(load_checkpoint(p)["v"], np.zeros(4))
+
+
+def test_async_checkpointer(tmp_path):
+    ck = AsyncCheckpointer()
+    p = str(tmp_path / "a")
+    for i in range(3):
+        ck.save(p, {"step": i, "v": np.full(8, float(i))})
+    ck.wait()
+    back = load_checkpoint(p)
+    assert back["step"] == 2
+    np.testing.assert_array_equal(back["v"], np.full(8, 2.0))
+
+
+def test_torch_checkpoint_loading(tmp_path):
+    torch = pytest.importorskip("torch")
+    from thermal_semantic_segmentation_tpu.core.checkpoint import (
+        maybe_load_torch_checkpoint)
+    p = str(tmp_path / "t.pth")
+    torch.save({"epoch": 7, "sem_net_state_dict": {"x": torch.ones(3)}}, p)
+    ck = maybe_load_torch_checkpoint(p)
+    assert ck["epoch"] == 7
+    np.testing.assert_array_equal(ck["sem_net_state_dict"]["x"].numpy(), np.ones(3))

@@ -1,0 +1,76 @@
+"""Native C++ decoder: exact decode parity vs PIL, batch preprocessing checks."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from thermal_semantic_segmentation_tpu.data import native_loader as nl
+
+pytestmark = pytest.mark.skipif(not nl.available(),
+                                reason="native decoder not buildable here")
+
+
+def _write_png16(path, arr):
+    Image.fromarray(arr.astype(np.uint16)).save(path)
+
+
+def _write_rgb(path, arr, fmt="PNG"):
+    Image.fromarray(arr.astype(np.uint8)).save(path, format=fmt)
+
+
+def test_raw_decode_parity_16bit(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 65535, (37, 53)).astype(np.uint16)
+    p = str(tmp_path / "a.png")
+    _write_png16(p, arr)
+    got = nl.decode_raw(p)
+    np.testing.assert_array_equal(got[..., 0], arr)
+
+
+def test_raw_decode_parity_rgb_png_and_jpeg(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (24, 31, 3)).astype(np.uint8)
+    p = str(tmp_path / "b.png")
+    _write_rgb(p, arr)
+    got = nl.decode_raw(p)
+    np.testing.assert_array_equal(got, arr)
+    # jpeg is lossy: decoded pixels must agree with PIL's decode of the SAME file
+    j = str(tmp_path / "c.jpg")
+    _write_rgb(arr=arr, path=j, fmt="JPEG")
+    got_j = nl.decode_raw(j)
+    want_j = np.asarray(Image.open(j))
+    assert got_j.shape == want_j.shape
+    # libjpeg versions may differ in IDCT path; allow off-by-few
+    assert np.abs(got_j.astype(int) - want_j.astype(int)).max() <= 3
+
+
+def test_ir_batch_semantics(tmp_path):
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(4):
+        arr = rng.integers(21000, 26000, (40, 120)).astype(np.uint16)
+        p = str(tmp_path / f"ir_{i}.png")
+        _write_png16(p, arr)
+        paths.append(p)
+    out = nl.decode_ir_batch(paths)
+    assert out.shape == (4, 320, 700, 1)
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    # window edges must map to 0 and 1 somewhere given the 21000..26000 range
+    assert out.min() == 0.0 and out.max() == 1.0
+
+
+def test_rgb_batch_shapes(tmp_path):
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"rgb_{i}.png")
+        _write_rgb(p, rng.integers(0, 255, (40, 120, 3)))
+        paths.append(p)
+    out = nl.decode_rgb_batch(paths)
+    assert out.shape == (3, 320, 700, 3) and out.dtype == np.uint8
+
+
+def test_missing_file_raises(tmp_path):
+    with pytest.raises(IOError):
+        nl.decode_ir_batch([str(tmp_path / "nope.png")])

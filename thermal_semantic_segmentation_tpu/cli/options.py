@@ -118,6 +118,11 @@ def seg_parse():
     parser.add_argument('-grayscale', type=str2bool, default=False)
     parser.add_argument('-log_interval', type=int, default=10)
     parser.add_argument('-max_steps', type=int, default=0)
+    parser.add_argument('-device_aug', type=str2bool, default=False,
+                        help='fused device-side RandomResizedCrop+flip '
+                             '(host pipeline only decodes).')
+    parser.add_argument('-lr_groups', type=str2bool, default=False,
+                        help='1x backbone / 10x head LR split.')
     _add_roots(parser)
     return parser
 

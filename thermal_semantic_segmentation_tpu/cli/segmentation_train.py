@@ -31,7 +31,14 @@ from .options import seg_parse
 
 def seg_main(args, logger):
     mesh = make_mesh()
-    source_dataset = build_seg_dataset(args, train_transform())
+    device_aug = getattr(args, "device_aug", False)
+    if device_aug:
+        # host pipeline only decodes full-res frames; crop/flip run on device
+        from ..data import transforms as T
+        src_transform = T.Compose([T.ToArray()])
+    else:
+        src_transform = train_transform()
+    source_dataset = build_seg_dataset(args, src_transform)
     from ..data.freiburg import FreiburgTest
     target_val_dataset = FreiburgTest(args.freiburg_root, "test", "IR",
                                       transforms=val_transform(), with_label=True)
@@ -41,7 +48,12 @@ def seg_main(args, logger):
     train_idx, val_idx = split_indices(len(source_dataset), 0.2, seed=42)
     train_loader = DataLoader(source_dataset, args.batch_size, shuffle=True,
                               indices=train_idx, drop_last=True, seed=args.seed)
-    val_loader = DataLoader(source_dataset, args.val_batch_size, shuffle=True,
+    # NOTE: the reference validates through the train dataset's (augmenting)
+    # transform (segmentation_train.py:143); with device_aug the crop lives in
+    # the train step, so the val split gets the deterministic resize instead.
+    val_source = (build_seg_dataset(args, val_transform()) if device_aug
+                  else source_dataset)
+    val_loader = DataLoader(val_source, args.val_batch_size, shuffle=True,
                             indices=val_idx, drop_last=True, seed=args.seed + 1)
     target_val_loader = DataLoader(target_val_dataset, args.val_batch_size,
                                    shuffle=False, drop_last=True, seed=args.seed + 2)
@@ -58,11 +70,13 @@ def seg_main(args, logger):
             lowest_val_loss = float(meta["val_loss"])
         logger.info("loaded %s, resume from epoch %d", path, restart_epoch)
 
-    state = create_seg_state(model, variables, learning_rate=args.lr)
+    state = create_seg_state(model, variables, learning_rate=args.lr,
+                             lr_groups=getattr(args, "lr_groups", False))
     state = replicate(mesh, state)
     train_step = make_seg_train_step(ignore_index=args.ignore_index,
                                      label_hw=(256, 512), base_lr=args.lr,
-                                     dropout_seed=args.seed)
+                                     dropout_seed=args.seed,
+                                     device_augment=device_aug)
     eval_step = build_seg_eval_step(model, num_classes=args.num_classes,
                                     ignore_index=args.ignore_index,
                                     label_hw=(256, 512))
@@ -76,18 +90,18 @@ def seg_main(args, logger):
         progress = ProgressMeter(len(train_loader), [train_loss, images_per_sec],
                                  prefix=f"Epoch: [{epoch}]")
         last = time.perf_counter()
-        for i, batch in enumerate(train_loader):
+        from ..data.device_pipeline import device_prefetch
+        for i, batch in enumerate(device_prefetch(train_loader, mesh)):
             if args.max_steps and i >= args.max_steps:
                 break
-            image, label = shard_batch(mesh, (jnp.asarray(batch["image"]),
-                                              jnp.asarray(batch["label"])))
-            state, loss = train_step(state, image, label)
+            state, loss = train_step(state, batch["image"], batch["label"])
             if i % args.log_interval == 0:
+                bs = batch["image"].shape[0]
                 loss_val = float(loss)  # host sync only at log points
                 now = time.perf_counter()
-                train_loss.update(loss_val, image.shape[0])
+                train_loss.update(loss_val, bs)
                 images_per_sec.update(
-                    image.shape[0] * args.log_interval / max(now - last, 1e-9))
+                    bs * args.log_interval / max(now - last, 1e-9))
                 last = now
                 progress.display(i, logger)
 

@@ -47,6 +47,33 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writes via a background thread.
+
+    Training never stalls on host IO: ``save`` snapshots the (host-fetched)
+    payload and returns; the previous write is awaited first so at most one
+    write is in flight (restart safety the reference lacks — it torch.saves
+    synchronously in the epoch loop, main.py:128-136).
+    """
+
+    def __init__(self):
+        import threading
+        self._threading = threading
+        self._thread = None
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def save(self, path: str, payload: Dict[str, Any]) -> None:
+        self.wait()
+        host_payload = _to_numpy(payload)
+        self._thread = self._threading.Thread(
+            target=save_checkpoint, args=(path, host_payload), daemon=True)
+        self._thread.start()
+
+
 def maybe_load_torch_checkpoint(path: str):
     """Load a reference ``torch.save`` checkpoint if torch is available.
 

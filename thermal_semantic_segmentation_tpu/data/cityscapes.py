@@ -84,3 +84,17 @@ class Cityscapes:
 def CityscapesTranslation(root: str, data_folder: str = "translation", **kwargs):
     """Translated Cityscapes (reads from the translation folder)."""
     return Cityscapes(root, data_folder=data_folder, **kwargs)
+
+
+# merged 13-class train-id colors (source_dataset.py:51-55 head of the table)
+TRAIN_ID_TO_COLOR = np.array([
+    (128, 64, 128), (244, 35, 232), (70, 70, 70), (102, 102, 156),
+    (190, 153, 153), (153, 153, 153), (107, 142, 35), (152, 251, 152),
+    (70, 130, 180), (220, 20, 60), (0, 0, 142), (119, 11, 32), (0, 0, 0),
+], dtype=np.uint8)
+
+
+def decode_target(target: np.ndarray) -> np.ndarray:
+    """Train-id map -> RGB visualization (base_dataset.py:117-138 capability)."""
+    t = np.clip(np.asarray(target, np.int64), 0, len(TRAIN_ID_TO_COLOR) - 1)
+    return TRAIN_ID_TO_COLOR[t]

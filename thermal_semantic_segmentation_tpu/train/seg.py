@@ -83,12 +83,23 @@ def create_seg_state(model, variables, *, learning_rate: float,
 
 
 def make_seg_train_step(*, ignore_index: int, label_hw: Tuple[int, int] = (256, 512),
-                        base_lr: float, dropout_seed: int = 0):
-    """Returns jitted (state, image, label) -> (state, loss)."""
+                        base_lr: float, dropout_seed: int = 0,
+                        device_augment: bool = False):
+    """Returns jitted (state, image, label) -> (state, loss).
+
+    device_augment=True: the step takes RAW full-resolution batches and runs
+    the fused RandomResizedCrop+flip on device (ops.augment), so the host
+    pipeline only decodes — no PIL in the hot loop.
+    """
 
     @functools.partial(jax.jit, donate_argnums=0)
     def train_step(state: SegTrainState, image: jax.Array, label: jax.Array):
         rng = jax.random.fold_in(jax.random.key(dropout_seed), state.step)
+        if device_augment:
+            from ..ops.augment import random_resized_crop_flip
+            aug_key = jax.random.fold_in(jax.random.key(dropout_seed + 1), state.step)
+            image, label = random_resized_crop_flip(
+                aug_key, image, labels=label, out_hw=label_hw)
 
         def loss_fn(params):
             out, mutated = state.apply_fn(
