@@ -83,6 +83,8 @@ def seg_main(args, logger):
     scheduler = ReduceLROnPlateau(mode="min")
 
     os.makedirs(args.model_root_path, exist_ok=True)
+    from ..utils.observability import MetricsLogger
+    metrics_log = MetricsLogger(os.path.join(args.logdir, "metrics.jsonl"))
     for epoch in range(restart_epoch, restart_epoch + args.epochs):
         print(f"--------START TRAINING [EPOCH: {epoch}]--------")
         train_loss = AverageMeter("train_loss", ":3.4f")
@@ -104,6 +106,9 @@ def seg_main(args, logger):
                     bs * args.log_interval / max(now - last, 1e-9))
                 last = now
                 progress.display(i, logger)
+                metrics_log.log(int(state.step), {"train_loss": loss_val,
+                                                  "images_per_sec": images_per_sec.val},
+                                epoch=epoch)
 
         mean_iu, val_loss, class_iou = seg_validate(
             model, state.variables, val_loader, num_classes=args.num_classes,

@@ -1,9 +1,9 @@
 """Device-mesh + sharding layer (new capability; reference is single-device)."""
 
 from .mesh import (DATA_AXIS, SPATIAL_AXIS, batch_sharding, image_sharding,
-                   label_sharding, make_mesh, make_mesh_2d, replicate,
-                   replicated, shard_batch)
+                   init_distributed, label_sharding, make_mesh, make_mesh_2d,
+                   replicate, replicated, shard_batch)
 
-__all__ = ["DATA_AXIS", "SPATIAL_AXIS", "batch_sharding", "image_sharding",
+__all__ = ["DATA_AXIS", "SPATIAL_AXIS", "batch_sharding", "image_sharding", "init_distributed",
            "label_sharding", "make_mesh", "make_mesh_2d", "replicate",
            "replicated", "shard_batch"]

@@ -55,6 +55,15 @@ def label_sharding(mesh: Mesh, *, spatial: bool = False) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def init_distributed(**kwargs) -> None:
+    """Multi-host bring-up: call once per process before make_mesh(); the same
+    'data' axis then spans DCN-connected hosts (coordinator address etc. come
+    from TPU environment variables or kwargs — see jax.distributed.initialize)."""
+    import jax
+
+    jax.distributed.initialize(**kwargs)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dim; everything else replicated."""
     return NamedSharding(mesh, P(axis_name))
