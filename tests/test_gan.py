@@ -156,3 +156,27 @@ def test_cyclegan_two_steps():
     for k, v in {**metrics, **d_metrics}.items():
         assert np.isfinite(float(v)), (k, float(v))
     assert int(state.step) == 2
+
+
+@pytest.mark.slow
+def test_one_direction_gan_steps():
+    """main_gan path: s2t generator + d_t only (cycle=False)."""
+    key = jax.random.key(0)
+    g_s2t = unet_32(ngf=8, output_nc=1)
+    d_t = patchgan(ndf=8)
+    g_vars = {"s2t": init_gan_net(g_s2t, key, (1, 32, 64, 3))}
+    d_vars = {"t": init_gan_net(d_t, key, (1, 32, 64, 1))}
+    state = create_gan_state(g_vars=g_vars, d_vars=d_vars, learning_rate=1e-4)
+    g_step, d_step = make_gan_steps(
+        g_apply={"s2t": g_s2t.apply}, d_apply={"t": d_t.apply},
+        cycle=False, with_contour=True)
+    rng = np.random.default_rng(0)
+    real_s = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 3)).astype(np.float32))
+    real_t = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 1)).astype(np.float32))
+    pool = ImagePool(50)
+    state, metrics, outs = g_step(state, real_s, real_t)
+    assert "fake_s" not in outs and "g_t2s" not in metrics
+    state, d_metrics = d_step(state, {"t": real_t},
+                              {"t": jnp.asarray(pool.query(outs["fake_t"]))})
+    for k, v in {**metrics, **d_metrics}.items():
+        assert np.isfinite(float(v)), k

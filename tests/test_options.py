@@ -1,0 +1,55 @@
+"""CLI flag surface: names and defaults match the reference options.py."""
+
+from thermal_semantic_segmentation_tpu.cli.options import (
+    calc_proto_parse, evaluation_parse, pseudo_generation_parse, seg_parse,
+    self_train_parse, train_parse, translation_parse)
+
+
+def test_train_parse_defaults():
+    a = train_parse().parse_args([])
+    assert a.batch_size == 4 and a.num_epoch == 65 and a.lr == 0.0001
+    assert a.source_dataset == "kitti" and a.target_dataset == "freiburg_ir"
+    assert a.s2t_input_nc == 3 and a.t2s_input_nc == 1
+    assert a.canny_thermal_threshold == 1 and a.canny_rgb_threshold == 2.5
+    assert a.checkpoint_name == "freiburg_rgb2ir.pth"
+
+
+def test_seg_parse_defaults():
+    a = seg_parse().parse_args([])
+    assert a.epochs == 50 and a.batch_size == 8 and a.num_classes == 13
+    assert a.ignore_index == 12 and a.net_mode == "one_channel"
+    assert a.dataset == "cityscapes_translation"
+    assert a.translation_name == "freiburg_rgb2ir_130epochs"
+
+
+def test_evaluation_parse_defaults():
+    a = evaluation_parse().parse_args([])
+    assert a.val_batch_size == 1 and a.num_classes == 13
+    assert a.dataset == "freiburg_ir" and a.ignore_index == 12
+    assert a.checkpoint_name == "256_freiburg_rgb2ir_segmentation.pth"
+
+
+def test_self_train_parse_defaults():
+    a = self_train_parse().parse_args([])
+    assert a.resize == 1200 and tuple(a.rcrop) == (512, 256) and a.hflip == 0.5
+    assert a.proto_temperature == 0.5 and a.threshold == 0.3
+    assert a.rce_alpha == 0.1 and a.rce_beta == 1.0
+    assert a.proto_momentum == 0.0001 and a.lr == 1e-6
+    assert a.new_checkpoint_name == "256_freiburg_rgb2ir_tem_0.5_thres_0.3_segmentation.pth"
+
+
+def test_misc_parsers():
+    a = calc_proto_parse().parse_args([])
+    assert a.batch_size == 64 and a.epochs == 4 and a.with_feat is True
+    b = pseudo_generation_parse().parse_args([])
+    assert b.pseudo_type == "hard" and b.soft is False
+    c = translation_parse().parse_args([])
+    assert tuple(c.save_image_size) == (1024, 2048) and c.generator_type == "s2t"
+
+
+def test_str2bool_fixes_reference_trap():
+    """type=bool in the reference makes '-flag false' truthy; ours parses it."""
+    a = seg_parse().parse_args(["-data_split", "false"])
+    assert a.data_split is False
+    a = seg_parse().parse_args(["-data_split", "true"])
+    assert a.data_split is True
