@@ -30,10 +30,10 @@ from thermal_semantic_segmentation_tpu.parallel.mesh import make_mesh, replicate
 from thermal_semantic_segmentation_tpu.train.seg import create_seg_state, make_seg_train_step
 
 BASELINE_IMAGES_PER_SEC = 20.0
-BATCH = 16
+BATCH = 8  # aligns with the 8-sublane register tiling; fastest measured
 HW = (256, 512)
 WARMUP_STEPS = 3
-MEASURE_STEPS = 20
+MEASURE_STEPS = 30
 
 
 def main():

@@ -93,8 +93,12 @@ def canny_edges(img: jax.Array, *, threshold: float = 10.0) -> jax.Array:
 
     idx_pos = (jnp.round(orientation / 45.0).astype(jnp.int32)) % 8  # (N,H,W,1)
     idx_neg = (idx_pos + 4) % 8
-    sel_pos = jnp.take_along_axis(directional, idx_pos, axis=-1)
-    sel_neg = jnp.take_along_axis(directional, idx_neg, axis=-1)
+    # one-hot select instead of take_along_axis (TPU gathers at image shapes
+    # are ~30x slower than the equivalent multiply-reduce)
+    oh_pos = jax.nn.one_hot(idx_pos[..., 0], 8, dtype=directional.dtype)
+    oh_neg = jax.nn.one_hot(idx_neg[..., 0], 8, dtype=directional.dtype)
+    sel_pos = jnp.sum(directional * oh_pos, axis=-1, keepdims=True)
+    sel_neg = jnp.sum(directional * oh_neg, axis=-1, keepdims=True)
 
     is_max = jnp.minimum(sel_pos, sel_neg) > 0.0
     thin = jnp.where(is_max, grad_mag, 0.0)
