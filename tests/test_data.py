@@ -115,3 +115,37 @@ def test_palette_png():
     pred = np.random.default_rng(0).integers(0, 13, size=(16, 32))
     img = colorize_prediction(pred)
     assert img.mode == "P" and img.size == (32, 16)
+
+
+def test_freiburg_translation_pairs(tmp_path):
+    """FreiburgT2S / FreiburgTranslation glob + label-derivation grammar."""
+    import os
+    from PIL import Image
+    from thermal_semantic_segmentation_tpu.data.freiburg import FreiburgTranslationPairs
+
+    root = str(tmp_path / "translations")
+    folder = "test_run/"
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(root, folder), exist_ok=True)
+    for i in range(3):
+        img = rng.integers(0, 255, (40, 80, 3)).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(root, folder, f"{i}_translation.jpg"))
+        lab = rng.integers(0, 13, (40, 80)).astype(np.uint8)
+        Image.fromarray(lab, "L").save(os.path.join(root, folder, f"{i}_groundtruth.png"))
+    ds = FreiburgTranslationPairs(folder, val_transform(), root=root)
+    assert len(ds) == 3
+    item = ds.get(0, np.random.default_rng(0))
+    assert item["image"].shape == (256, 512, 3)
+    assert item["label"].shape == (256, 512) and item["label"].max() <= 12
+
+
+def test_multiple_apply_views():
+    from PIL import Image
+    from thermal_semantic_segmentation_tpu.data.transforms import MultipleApply
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (32, 48, 3)).astype(np.uint8))
+    ma = MultipleApply([train_transform(), train_transform()])
+    views, _ = ma(np.random.default_rng(0), img, None)
+    assert len(views) == 2
+    assert views[0].shape == (256, 512, 3)
+    assert not np.array_equal(views[0], views[1])  # independent random draws

@@ -58,3 +58,37 @@ def test_dp_sp_matches_single_device():
     _, loss2 = step(state2, im, lb)
 
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-4)
+
+
+def test_self_train_step_sharded():
+    """Self-training step under batch-sharded dp on the 8-device mesh."""
+    import jax.numpy as jnp
+    from thermal_semantic_segmentation_tpu.parallel.mesh import make_mesh, shard_batch
+    from thermal_semantic_segmentation_tpu.train.self_train import (
+        create_self_train_state, make_self_train_step)
+
+    mesh = make_mesh()
+    model, variables = create_deeplab(jax.random.key(0), num_classes=13,
+                                      num_channels=1, layers=(1, 1, 1, 1),
+                                      image_size=(64, 128))
+    rng = np.random.default_rng(0)
+    state = replicate(mesh, create_self_train_state(
+        model, variables, prototypes=rng.standard_normal((13, 256)) * 0.1,
+        learning_rate=1e-4))
+    step = make_self_train_step(model, num_classes=13, ignore_index=12,
+                                base_lr=1e-4, label_hw=(64, 128))
+    B = 8
+    batch = dict(
+        source_image=rng.uniform(0, 1, (B, 64, 128, 1)).astype(np.float32),
+        source_label=rng.integers(0, 13, (B, 64, 128)),
+        target_image=rng.uniform(0, 1, (B, 64, 128, 1)).astype(np.float32),
+        target_image_full=rng.uniform(0, 1, (B, 80, 176, 1)).astype(np.float32),
+        target_lp_soft=rng.uniform(0, 1, (B, 13, 64, 128)).astype(np.float32),
+        target_lp_hard=rng.integers(0, 13, (B, 64, 128)),
+        weak_params={"resized_hw": np.asarray([[96, 160]] * B),
+                     "crop": np.asarray([[8, 72, 16, 144]] * B),
+                     "flip": np.asarray([True, False] * (B // 2))},
+    )
+    batch = shard_batch(mesh, jax.tree.map(jnp.asarray, batch))
+    state, lp, ls = step(state, **batch)
+    assert np.isfinite(float(lp)) and np.isfinite(float(ls))

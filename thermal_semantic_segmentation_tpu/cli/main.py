@@ -106,7 +106,10 @@ def gan_main(args):
             sem_vars = ckpt["sem_vars"]
         print(f"loading trained model. start from epoch {restart_epoch}.")
 
-    state = create_gan_state(g_vars=g_vars, d_vars=d_vars, learning_rate=args.lr)
+    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    mesh = make_mesh()
+    state = replicate(mesh, create_gan_state(g_vars=g_vars, d_vars=d_vars,
+                                             learning_rate=args.lr))
     g_step, d_step = make_gan_steps(
         g_apply={k: m.apply for k, m in nets["g"].items()},
         d_apply={k: m.apply for k, m in nets["d"].items()},
@@ -132,9 +135,9 @@ def gan_main(args):
         for i, (s_batch, t_batch) in enumerate(zip(src_loader, tgt_loader)):
             if args.max_steps and i >= args.max_steps:
                 break
-            real_s = jnp.asarray(s_batch["image"])
-            real_t = jnp.asarray(t_batch["image"])
-            label_s = jnp.asarray(s_batch["label"]) if (
+            real_s, real_t = shard_batch(mesh, (jnp.asarray(s_batch["image"]),
+                                                jnp.asarray(t_batch["image"])))
+            label_s = shard_batch(mesh, jnp.asarray(s_batch["label"])) if (
                 args.sem_loss and "label" in s_batch) else None
             state, metrics, outs = g_step(state, real_s, real_t, label_s,
                                           sem_vars, with_sem=args.sem_loss)
@@ -143,6 +146,7 @@ def gan_main(args):
             if args.cycle:
                 reals["s"] = real_s
                 fakes["s"] = jnp.asarray(pools["s"].query(outs["fake_s"]))
+            fakes = shard_batch(mesh, fakes)
             state, d_metrics = d_step(state, reals, fakes)
             if i % args.log_interval == 0:
                 vals = {k: float(v) for k, v in {**metrics, **d_metrics}.items()}

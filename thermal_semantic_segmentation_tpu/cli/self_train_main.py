@@ -69,9 +69,11 @@ def self_train_main(args, logger):
         prototype_path(args.root, args.target_dataset, args.checkpoint_name))
     prototypes = np.asarray(proto_ckpt["objective_vectors"])
 
-    state = create_self_train_state(model, variables, prototypes=prototypes,
-                                    learning_rate=args.lr,
-                                    num_classes=args.num_classes)
+    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    mesh = make_mesh()
+    state = replicate(mesh, create_self_train_state(
+        model, variables, prototypes=prototypes, learning_rate=args.lr,
+        num_classes=args.num_classes))
     step = make_self_train_step(
         model, num_classes=args.num_classes, ignore_index=args.ignore_index,
         base_lr=args.lr, proto_temperature=args.proto_temperature,
@@ -105,15 +107,15 @@ def self_train_main(args, logger):
             if args.max_steps and i >= args.max_steps:
                 break
             wp = t_batch["weak_params"]
-            state, loss_pseudo, loss_source = step(
-                state,
+            sharded = shard_batch(mesh, (
                 jnp.asarray(s_batch["image"]),
                 jnp.asarray(s_batch["label"]),
                 jnp.asarray(t_batch["image"]),
                 jnp.asarray(t_batch["image_full"]),
                 jnp.asarray(t_batch["label_soft"]) if "label_soft" in t_batch else None,
                 jnp.asarray(t_batch["label_hard"]),
-                {k: jnp.asarray(v) for k, v in wp.items()})
+                {k: jnp.asarray(v) for k, v in wp.items()}))
+            state, loss_pseudo, loss_source = step(state, *sharded)
             if i % 10 == 0:
                 pseudo_loss.update(float(loss_pseudo), args.batch_size)
                 s_loss.update(float(loss_source), args.batch_size)
