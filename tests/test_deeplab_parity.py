@@ -96,3 +96,36 @@ def test_legacy_head_shapes():
     out = model.apply(variables, jnp.zeros((1, 64, 128, 1)), train=False)
     assert out["out"].shape == (1, 9, 17, 13)
     assert out["feat"].shape[-1] == 2048
+
+
+@pytest.mark.slow
+def test_reference_torch_checkpoint_through_eval_path(ref_torch_model, tmp_path):
+    """The user-migration path: a reference-format .pth checkpoint loads via
+    load_seg_checkpoint and produces the same predictions through our eval
+    step as the torch model."""
+    from thermal_semantic_segmentation_tpu.cli._common import load_seg_checkpoint
+    from thermal_semantic_segmentation_tpu.train.seg import build_seg_eval_step
+
+    path = str(tmp_path / "ref_ckpt.pth")
+    torch.save({"epoch": 4, "val_loss": 0.5,
+                "sem_net_state_dict": ref_torch_model.state_dict()}, path)
+
+    variables, meta = load_seg_checkpoint(path)
+    assert int(meta["epoch"]) == 4
+
+    model = DeepLabV2(num_classes=13, num_channels=1)
+    eval_step = build_seg_eval_step(model, num_classes=13, ignore_index=12,
+                                    label_hw=(64, 128))
+    x = np.random.default_rng(1).uniform(0, 1, (1, 1, 64, 128)).astype(np.float32)
+    label = np.random.default_rng(2).integers(0, 13, (1, 64, 128))
+    hist, loss, pred = eval_step(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(label))
+
+    with torch.no_grad():
+        out = ref_torch_model(torch.from_numpy(x))["out"]
+        up = torch.nn.functional.interpolate(out, (64, 128), mode="bilinear",
+                                             align_corners=True)
+        want_pred = up.argmax(1).numpy()
+    agreement = (np.asarray(pred) == want_pred).mean()
+    assert agreement > 0.999, agreement

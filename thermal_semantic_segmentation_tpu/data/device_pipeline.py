@@ -8,7 +8,7 @@ DMA rides under the running step).
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import jax
 

@@ -14,7 +14,7 @@ three stay geometrically aligned.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..nn.generators import ResnetGenerator, UnetGenerator
 from ..nn.patchgan import NLayerDiscriminator
-from .deeplab import DeepLabV2, create_deeplab
+from .deeplab import DeepLabV2
 
 
 def unet_256(ngf: int = 64, input_nc: int = 3, output_nc: int = 3,

@@ -11,7 +11,7 @@ ConvTranspose k4/s2/p1 doubles spatial dims exactly like torch
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

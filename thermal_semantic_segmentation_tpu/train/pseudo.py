@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import os
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Reference recipe being reproduced (segmentation_train.py:26-209):
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
