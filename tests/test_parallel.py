@@ -92,3 +92,39 @@ def test_self_train_step_sharded():
     batch = shard_batch(mesh, jax.tree.map(jnp.asarray, batch))
     state, lp, ls = step(state, **batch)
     assert np.isfinite(float(lp)) and np.isfinite(float(ls))
+
+
+def test_gan_steps_sharded():
+    """CycleGAN g/d steps under batch-sharded dp on the 8-device mesh."""
+    import jax.numpy as jnp
+    from thermal_semantic_segmentation_tpu.models.factory import (
+        init_gan_net, patchgan, unet_32)
+    from thermal_semantic_segmentation_tpu.parallel.mesh import make_mesh, shard_batch
+    from thermal_semantic_segmentation_tpu.train.gan import (
+        create_gan_state, make_gan_steps)
+
+    mesh = make_mesh()
+    key = jax.random.key(0)
+    g_s2t = unet_32(ngf=8, output_nc=1)
+    g_t2s = unet_32(ngf=8, output_nc=3)
+    d_t = patchgan(ndf=8)
+    d_s = patchgan(ndf=8)
+    g_vars = {"s2t": init_gan_net(g_s2t, key, (1, 32, 64, 3)),
+              "t2s": init_gan_net(g_t2s, key, (1, 32, 64, 1))}
+    d_vars = {"t": init_gan_net(d_t, key, (1, 32, 64, 1)),
+              "s": init_gan_net(d_s, key, (1, 32, 64, 3))}
+    state = replicate(mesh, create_gan_state(g_vars=g_vars, d_vars=d_vars,
+                                             learning_rate=1e-4))
+    g_step, d_step = make_gan_steps(
+        g_apply={"s2t": g_s2t.apply, "t2s": g_t2s.apply},
+        d_apply={"t": d_t.apply, "s": d_s.apply}, cycle=True)
+    rng = np.random.default_rng(0)
+    real_s, real_t = shard_batch(mesh, (
+        jnp.asarray(rng.uniform(-1, 1, (8, 32, 64, 3)).astype(np.float32)),
+        jnp.asarray(rng.uniform(-1, 1, (8, 32, 64, 1)).astype(np.float32))))
+    state, metrics, outs = g_step(state, real_s, real_t)
+    fakes = shard_batch(mesh, {"s": jnp.asarray(np.asarray(outs["fake_s"])),
+                               "t": jnp.asarray(np.asarray(outs["fake_t"]))})
+    state, d_metrics = d_step(state, {"s": real_s, "t": real_t}, fakes)
+    for k, v in {**metrics, **d_metrics}.items():
+        assert np.isfinite(float(v)), k

@@ -8,6 +8,14 @@ via the collectives XLA inserts for pjit-sharded batch math.
 
 Multi-host extension: call ``jax.distributed.initialize()`` before
 ``make_mesh()`` and the same axis spans DCN-connected hosts.
+
+BatchNorm semantics under the mesh: reductions over the batch axis inside the
+jitted step see the GLOBAL batch (XLA inserts the cross-replica collectives),
+so BN here is synchronized batch norm. The single-device reference trains BN
+per device trivially; its commented-out SyncBN import (models/deeplabv2.py:10)
+is what this gives for free. Per-replica BN (behavior-faithful to multi-GPU
+torch without SyncBN) would require shard_map and is intentionally not the
+default.
 """
 
 from __future__ import annotations
