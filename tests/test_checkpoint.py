@@ -45,3 +45,17 @@ def test_torch_checkpoint_loading(tmp_path):
     ck = maybe_load_torch_checkpoint(p)
     assert ck["epoch"] == 7
     np.testing.assert_array_equal(ck["sem_net_state_dict"]["x"].numpy(), np.ones(3))
+
+
+def test_seg_checkpoint_resume_roundtrip(tmp_path):
+    """save_seg_checkpoint/load_seg_checkpoint preserve variables + meta."""
+    from thermal_semantic_segmentation_tpu.cli._common import (
+        load_seg_checkpoint, save_seg_checkpoint)
+    variables = {"params": {"w": np.arange(4.0)}, "batch_stats": {"m": np.ones(2)}}
+    p = str(tmp_path / "seg.pth")
+    save_seg_checkpoint(p, variables, epoch=9, val_loss=0.25)
+    back, meta = load_seg_checkpoint(p)
+    assert int(meta["epoch"]) == 9 and abs(float(meta["val_loss"]) - 0.25) < 1e-9
+    np.testing.assert_array_equal(back["params"]["w"], variables["params"]["w"])
+    np.testing.assert_array_equal(back["batch_stats"]["m"],
+                                  variables["batch_stats"]["m"])

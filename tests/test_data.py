@@ -149,3 +149,14 @@ def test_multiple_apply_views():
     assert len(views) == 2
     assert views[0].shape == (256, 512, 3)
     assert not np.array_equal(views[0], views[1])  # independent random draws
+
+
+def test_cityscapes_translation_mode_paths(tmp_path):
+    """train_mode=False returns the translation destination path
+    (base_dataset.py:107-111 grammar)."""
+    root = make_cityscapes_tree(str(tmp_path))
+    ds = Cityscapes(root, transforms=val_transform(), train_mode=False)
+    item = ds.get(0, np.random.default_rng(0))
+    assert item["image"].shape == (256, 512, 3)
+    assert "translation" in item["img_path"]
+    assert "leftImg8bit" not in item["img_path"]
