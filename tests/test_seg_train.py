@@ -126,3 +126,29 @@ def test_lr_groups_head_updates_larger(tiny_model):
             before["layer5"]["head_conv"]["kernel"]).mean())
         results[groups] = delta_head
     assert results[True] > 3.0 * results[False]
+
+
+def test_validate_pad_to_batch_is_metric_exact(tiny_model):
+    """Tail padding with ignore labels must not change any score."""
+    model, variables = tiny_model
+
+    class Loader:
+        def __init__(self, sizes):
+            self.sizes = sizes
+
+        def __iter__(self):
+            for i, bs in enumerate(self.sizes):
+                image, label = _batch(bs=bs, seed=i)
+                yield {"image": np.asarray(image), "label": np.asarray(label)}
+
+    ref = seg_validate(model, variables, Loader([2, 2, 1]), num_classes=13,
+                       ignore_index=12, label_hw=LABEL_HW)
+    padded = seg_validate(model, variables, Loader([2, 2, 1]), num_classes=13,
+                          ignore_index=12, label_hw=LABEL_HW, pad_to_batch=2)
+    np.testing.assert_allclose(ref[0], padded[0], rtol=1e-6)   # mean_iu
+    np.testing.assert_allclose(ref[1], padded[1], rtol=1e-5)   # val_loss
+    for k in ref[2]:
+        if np.isnan(ref[2][k]):
+            assert np.isnan(padded[2][k])
+        else:
+            np.testing.assert_allclose(ref[2][k], padded[2][k], rtol=1e-6)

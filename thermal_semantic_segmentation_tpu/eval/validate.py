@@ -24,11 +24,16 @@ from .metrics import SegScores, scores_from_hist
 def seg_validate(model, variables, loader, *, num_classes: int = 13,
                  ignore_index: int = 12, label_hw=(256, 512),
                  visualize: Optional[str] = None, save_root: Optional[str] = None,
-                 iter_counter: int = 0, eval_step=None):
+                 iter_counter: int = 0, eval_step=None,
+                 pad_to_batch: Optional[int] = None):
     """Returns (mean_iu, val_loss, cls_iu) like the reference seg_validate.
 
     ``visualize``: None | 'save_all' | 'save_one' (reference flag values).
     ``eval_step``: pass a prebuilt jitted step to reuse compilation across calls.
+    ``pad_to_batch``: pad partial tail batches to this size with ignore-labeled
+    zeros — metric-exact (ignored pixels contribute nothing to the confusion
+    matrix or CE) and avoids recompiling for the odd last batch. Lets eval run
+    at batch > 1 while matching the reference's batch-1 protocol bit-for-bit.
     """
     if eval_step is None:
         eval_step = build_seg_eval_step(model, num_classes=num_classes,
@@ -39,11 +44,18 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
     for i, batch in enumerate(loader):
         image = jnp.asarray(batch["image"])
         label = jnp.asarray(batch["label"])
+        real_bs = image.shape[0]
+        if pad_to_batch is not None and real_bs < pad_to_batch:
+            pad = pad_to_batch - real_bs
+            image = jnp.concatenate(
+                [image, jnp.zeros((pad, *image.shape[1:]), image.dtype)])
+            label = jnp.concatenate(
+                [label, jnp.full((pad, *label.shape[1:]), ignore_index,
+                                 label.dtype)])
         bhist, loss, pred = eval_step(variables, image, label)
         hist = hist + bhist
-        bs = image.shape[0]
-        loss_sum += float(loss) * bs
-        n_seen += bs
+        loss_sum += float(loss) * real_bs
+        n_seen += real_bs
         if visualize is not None and save_root:
             os.makedirs(save_root, exist_ok=True)
             if visualize == "save_all" or (visualize == "save_one" and i == 0):
