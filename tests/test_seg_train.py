@@ -128,6 +128,32 @@ def test_lr_groups_head_updates_larger(tiny_model):
     assert results[True] > 3.0 * results[False]
 
 
+def test_validate_real_loader_batch4_equals_batch1(tiny_model, tmp_path):
+    """End-to-end over a synthetic Freiburg test tree whose size (5) is not
+    divisible by the batch (4): drop_last=False + pad_to_batch must score every
+    image, bit-identical to the batch-1 reference protocol
+    (/root/reference/segmentation_evaluate.py:24-80)."""
+    from tests.synthetic import make_freiburg_tree
+    from thermal_semantic_segmentation_tpu.data import transforms as T
+    from thermal_semantic_segmentation_tpu.data.freiburg import FreiburgTest
+    from thermal_semantic_segmentation_tpu.data.loader import DataLoader
+
+    model, variables = tiny_model
+    root = make_freiburg_tree(str(tmp_path / "freiburg"), n_train=1, n_test=5)
+    tf = T.Compose([T.Resize((128, 64)), T.ToArray()])
+    ds = FreiburgTest(root, "test", "IR", transforms=tf, with_label=True)
+    assert len(ds) == 5
+
+    def run(bs):
+        loader = DataLoader(ds, bs, shuffle=False, drop_last=False, seed=0)
+        return seg_validate(model, variables, loader, num_classes=13,
+                            ignore_index=12, label_hw=LABEL_HW, pad_to_batch=bs)
+
+    ref, batched = run(1), run(4)
+    np.testing.assert_allclose(ref[0], batched[0], rtol=1e-6)
+    np.testing.assert_allclose(ref[1], batched[1], rtol=1e-5)
+
+
 def test_validate_pad_to_batch_is_metric_exact(tiny_model):
     """Tail padding with ignore labels must not change any score."""
     model, variables = tiny_model

@@ -21,13 +21,16 @@ def seg_evaluation(args):
     print("evaluating...")
     dataset = build_seg_dataset(args, val_transform(), for_eval=True)
 
+    # drop_last=False + pad_to_batch below: every image is scored (the
+    # reference protocol is batch-1-over-all, segmentation_evaluate.py:24-80);
+    # the ignore-padded tail batch is metric-exact and avoids a recompile.
     if args.data_split:
         _, val_idx = split_indices(len(dataset), 0.2, seed=42)
         loader = DataLoader(dataset, args.val_batch_size, shuffle=True,
-                            indices=val_idx, drop_last=True, seed=args.seed)
+                            indices=val_idx, drop_last=False, seed=args.seed)
     else:
         loader = DataLoader(dataset, args.val_batch_size, shuffle=False,
-                            drop_last=True, seed=args.seed)
+                            drop_last=False, seed=args.seed)
 
     model, _ = build_deeplab(args, abstract=True)  # checkpoint supplies variables
     path = os.path.join(args.model_root_path, args.checkpoint_name)
@@ -47,7 +50,7 @@ def seg_evaluation(args):
     mean_iu, avg_loss, class_iou = seg_validate(
         model, variables, loader, num_classes=args.num_classes,
         ignore_index=args.ignore_index, visualize=args.visualize_prediction,
-        save_root=save_root)
+        save_root=save_root, pad_to_batch=args.val_batch_size)
     print("checkpoint name: " + args.checkpoint_name)
     print(f"mean iou score: [{mean_iu}]. val_loss: [{avg_loss}]")
     for k, v in class_iou.items():

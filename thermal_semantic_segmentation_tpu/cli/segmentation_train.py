@@ -53,10 +53,13 @@ def seg_main(args, logger):
     # the train step, so the val split gets the deterministic resize instead.
     val_source = (build_seg_dataset(args, val_transform()) if device_aug
                   else source_dataset)
+    # drop_last=False + pad_to_batch in seg_validate: the tail batch is
+    # ignore-padded (metric-exact), so mIoU covers every val image even at
+    # val_batch_size > 1 (the reference protocol evaluates all, batch 1).
     val_loader = DataLoader(val_source, args.val_batch_size, shuffle=True,
-                            indices=val_idx, drop_last=True, seed=args.seed + 1)
+                            indices=val_idx, drop_last=False, seed=args.seed + 1)
     target_val_loader = DataLoader(target_val_dataset, args.val_batch_size,
-                                   shuffle=False, drop_last=True, seed=args.seed + 2)
+                                   shuffle=False, drop_last=False, seed=args.seed + 2)
 
     model, variables = build_deeplab(args)
 
@@ -112,7 +115,8 @@ def seg_main(args, logger):
 
         mean_iu, val_loss, class_iou = seg_validate(
             model, state.variables, val_loader, num_classes=args.num_classes,
-            ignore_index=args.ignore_index, eval_step=eval_step)
+            ignore_index=args.ignore_index, eval_step=eval_step,
+            pad_to_batch=args.val_batch_size)
         scale = scheduler.step(val_loss)
         state = state.replace(lr_scale=jnp.asarray(scale, jnp.float32))
 
@@ -132,7 +136,8 @@ def seg_main(args, logger):
 
         mean_iu, val_loss, class_iou = seg_validate(
             model, state.variables, target_val_loader, num_classes=13,
-            ignore_index=args.ignore_index, eval_step=eval_step)
+            ignore_index=args.ignore_index, eval_step=eval_step,
+            pad_to_batch=args.val_batch_size)
         line = "target test dataset mean iou score: " + str(mean_iu)
         logger.info(line); print(line)
         for k, v in class_iou.items():

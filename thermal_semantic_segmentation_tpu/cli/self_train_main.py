@@ -126,6 +126,7 @@ def self_train_main(args, logger):
                     model, state.variables, val_loader,
                     num_classes=args.num_classes,
                     ignore_index=args.ignore_index, eval_step=eval_step,
+                    pad_to_batch=args.batch_size,
                     visualize=args.visualize_prediction,
                     save_root=os.path.join(args.root, "predictions",
                                            args.new_checkpoint_name.replace(".pth", "")),

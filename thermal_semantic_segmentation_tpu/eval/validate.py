@@ -3,8 +3,8 @@
 Equivalent of ``seg_validate`` (segmentation_evaluate.py:24-80): batch
 inference, align-corners upsample to (256, 512), argmax, confusion-matrix
 accumulation, then (mean_iu, val_loss, cls_iu) with the iu[:11] Freiburg rule.
-The confusion matrix accumulates on device; only one (C, C) transfer happens
-at the end. Optional palette-PNG prediction dumps match the reference layout
+The confusion matrix and loss sum accumulate on device; one (C, C) + one
+scalar transfer happen at the end. Optional palette-PNG prediction dumps match the reference layout
 (<save_root>/<i>_prediction.png / _image.png / _groundtruth.png).
 """
 
@@ -39,7 +39,8 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
         eval_step = build_seg_eval_step(model, num_classes=num_classes,
                                         ignore_index=ignore_index, label_hw=label_hw)
     hist = jnp.zeros((num_classes, num_classes), jnp.float32)
-    loss_sum, n_seen = 0.0, 0
+    loss_sum = jnp.zeros((), jnp.float32)  # accumulated on device
+    n_seen = 0
     palette = freiburg_palette()
     for i, batch in enumerate(loader):
         image = jnp.asarray(batch["image"])
@@ -54,7 +55,7 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
                                  label.dtype)])
         bhist, loss, pred = eval_step(variables, image, label)
         hist = hist + bhist
-        loss_sum += float(loss) * real_bs
+        loss_sum = loss_sum + loss * real_bs  # no per-batch host sync
         n_seen += real_bs
         if visualize is not None and save_root:
             os.makedirs(save_root, exist_ok=True)
@@ -72,5 +73,5 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
                     os.path.join(save_root, f"{i}_image.png"))
 
     scores: SegScores = scores_from_hist(np.asarray(hist))
-    val_loss = loss_sum / max(n_seen, 1)
+    val_loss = float(loss_sum) / max(n_seen, 1)  # the only scalar transfer
     return scores.mean_iu, val_loss, scores.cls_iu
