@@ -87,18 +87,27 @@ def gan_main(args):
     sem_apply = sem_vars = None
     if args.sem_loss:
         # frozen legacy seg nets (main.py:80-81); the reference fetches
-        # pretrained weights from a model zoo URL — here they load from the
-        # resumed checkpoint or start randomly initialized.
+        # zoo-pretrained weights — here -sem_checkpoint_s/_t supply them
+        # (torch legacy .pth or native), a resumed GAN checkpoint's
+        # net_seg_* dicts override, and only as a last resort do they start
+        # randomly initialized (which makes the semantic loss meaningless).
         sem_s = deeplabv2_resnet101(num_classes=19, dtype=dtype)
         sem_t = deeplabv2_resnet101_thermal(num_classes=19, dtype=dtype)
         sem_apply = {"s": sem_s.apply, "t": sem_t.apply}
-        sem_vars = {"s": init_gan_net(sem_s, key, (1, 64, 128, 3)),
-                    "t": init_gan_net(sem_t, key, (1, 64, 128, 1))}
+        sem_vars = {}
+        for name, net, shape, ckpt_flag in (
+                ("s", sem_s, (1, 64, 128, 3), args.sem_checkpoint_s),
+                ("t", sem_t, (1, 64, 128, 1), args.sem_checkpoint_t)):
+            if ckpt_flag:
+                sem_vars[name] = _load_sem_variables(ckpt_flag)
+                print(f"loaded frozen sem net '{name}' from {ckpt_flag}")
+            else:
+                sem_vars[name] = init_gan_net(net, key, shape)
 
     restart_epoch = 0
     ckpt_path = os.path.join(args.gan_model_root_path, args.checkpoint_name)
     if args.load_model:
-        ckpt = load_checkpoint(ckpt_path)
+        ckpt = _load_gan_checkpoint(ckpt_path)
         restart_epoch = int(ckpt["epoch"])
         g_vars = {k: ckpt["g_vars"][k] for k in g_vars}
         d_vars = {k: ckpt["d_vars"][k] for k in d_vars}
@@ -162,6 +171,33 @@ def gan_main(args):
                          "g_vars": _materialize_gan_vars(state, g_vars, "g"),
                          "d_vars": _materialize_gan_vars(state, d_vars, "d")})
     return state
+
+
+def _load_gan_checkpoint(path: str):
+    """Native msgpack GAN checkpoint, or a reference torch .pth with the
+    main.py:128-136 / main_gan.py:110-114 key schema (net_g_s2t_state_dict...),
+    converted on the fly."""
+    try:
+        return load_checkpoint(path)
+    except Exception:
+        from ..core.checkpoint import maybe_load_torch_checkpoint
+        from ..models.torch_convert import torch_gan_checkpoint_to_flax
+        return torch_gan_checkpoint_to_flax(maybe_load_torch_checkpoint(path))
+
+
+def _load_sem_variables(path: str):
+    """Frozen sem-net weights: native ({'variables': ...} or bare variables)
+    or a torch legacy state_dict (.pth, 'backbone.*'/'classifier.*' layout,
+    semantic_segmentation_models.py:140-200)."""
+    try:
+        ckpt = load_checkpoint(path)
+        return ckpt.get("variables", ckpt)
+    except Exception:
+        from ..core.checkpoint import maybe_load_torch_checkpoint
+        from ..models.torch_convert import torch_legacy_state_dict_to_flax
+        sd = maybe_load_torch_checkpoint(path)
+        sd = sd.get("sem_net_state_dict", sd)
+        return torch_legacy_state_dict_to_flax(sd)
 
 
 def _materialize_gan_vars(state: GanTrainState, template, which):

@@ -60,6 +60,14 @@ def train_parse():
     parser.add_argument('-canny_rgb_threshold', type=float, default=2.5)
     parser.add_argument('-cycle', type=str2bool, default=True,
                         help='CycleGAN (main.py) vs one-direction GAN (main_gan.py).')
+    parser.add_argument('-sem_checkpoint_s', type=str, default='',
+                        help='pretrained 3-ch legacy DeepLab weights (.pth torch '
+                             'or native) for the frozen RGB sem net; the '
+                             'reference downloads these from a model zoo '
+                             '(semantic_segmentation_models.py:190-198).')
+    parser.add_argument('-sem_checkpoint_t', type=str, default='',
+                        help='pretrained 1-ch thermal legacy DeepLab weights '
+                             'for the frozen thermal sem net (main.py:81).')
     parser.add_argument('-log_interval', type=int, default=10)
     parser.add_argument('-max_steps', type=int, default=0,
                         help='debug: cap steps per epoch (0 = unlimited).')

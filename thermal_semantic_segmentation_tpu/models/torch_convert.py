@@ -173,6 +173,238 @@ def torch_legacy_state_dict_to_flax(state_dict: Mapping[str, "object"]) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+# ---------------------------------------------------------------------------
+# GAN net converters — reference checkpoints store torch state_dicts under
+# {'net_g_s2t_state_dict', 'net_d_t_state_dict', ...} (main.py:128-136,
+# main_gan.py:110-114). Each net's layout is described once as a table of
+# (torch_prefix, flax_path, kind) entries, used for both directions.
+# ---------------------------------------------------------------------------
+
+
+def _convT_w(w) -> np.ndarray:
+    """torch ConvTranspose2d weight (I, O, kh, kw) -> flax ConvTranspose
+    kernel (kh, kw, I, O), spatially flipped (lax.conv_transpose correlates
+    where torch's transposed conv convolves)."""
+    return np.ascontiguousarray(
+        np.asarray(w, np.float32).transpose(2, 3, 0, 1)[::-1, ::-1])
+
+
+def _convT_back(k) -> np.ndarray:
+    return np.ascontiguousarray(
+        np.asarray(k)[::-1, ::-1].transpose(2, 3, 0, 1))
+
+
+def _unet_layout(num_downs: int, norm: str = "batch"):
+    """(torch_prefix, flax_path, kind) for UnetGenerator. Torch Sequential
+    indices follow UnetSkipConnectionBlock (models/generators.py:166-235):
+    outermost [downconv 0, sub 1, relu 2, upconv 3, tanh 4]; intermediate
+    [relu 0, downconv 1, downnorm 2, sub 3, relu 4, upconv 5, upnorm 6];
+    innermost [relu 0, downconv 1, relu 2, upconv 3, upnorm 4]."""
+    batch = norm == "batch"
+    entries = [("model.model.0", ("down0",), "conv"),
+               ("model.model.3", ("up0",), "convT")]
+    pfx = "model.model.1"
+    for d in range(1, num_downs):
+        inner = d == num_downs - 1
+        entries.append((f"{pfx}.model.1", (f"down{d}",), "conv"))
+        if not inner and batch:
+            entries.append((f"{pfx}.model.2", (f"down{d}_norm",), "norm"))
+        up_i = 3 if inner else 5
+        entries.append((f"{pfx}.model.{up_i}", (f"up{d}",), "convT"))
+        if batch:
+            entries.append((f"{pfx}.model.{up_i + 1}", (f"up{d}_norm",), "norm"))
+        pfx += ".model.3"
+    return entries
+
+
+def _patchgan_layout(n_layers: int = 3, norm: str = "batch"):
+    """NLayerDiscriminator Sequential indices (models/discriminators.py:12-55):
+    conv 0, then per n: conv 3n-1 / norm 3n / relu 3n+1, head at 3n_layers+2."""
+    batch = norm == "batch"
+    entries = [("model.0", ("conv0",), "conv")]
+    for n in range(1, n_layers + 1):
+        entries.append((f"model.{3 * n - 1}", (f"conv{n}",), "conv"))
+        if batch:
+            entries.append((f"model.{3 * n}", (f"norm{n}",), "norm"))
+    entries.append((f"model.{3 * n_layers + 2}", ("head",), "conv"))
+    return entries
+
+
+def _resnet_gen_layout(n_blocks: int, norm: str = "batch",
+                       use_dropout: bool = False,
+                       padding_type: str = "reflect"):
+    """ResnetGenerator Sequential indices (models/generators.py:74-133):
+    [pad 0, stem 1, norm 2, relu 3], downs at 4+3i, blocks, ups, pad, head."""
+    batch = norm == "batch"
+    entries = [("model.1", ("stem",), "conv")]
+    if batch:
+        entries.append(("model.2", ("stem_norm",), "norm"))
+    idx = 4
+    for d in range(2):
+        entries.append((f"model.{idx}", (f"down{d}",), "conv"))
+        if batch:
+            entries.append((f"model.{idx + 1}", (f"down{d}_norm",), "norm"))
+        idx += 3
+    pad_layers = padding_type in ("reflect", "replicate")
+    for bi in range(n_blocks):
+        base = f"model.{idx + bi}.conv_block"
+        j = 1 if pad_layers else 0
+        entries.append((f"{base}.{j}", (f"block{bi}", "conv1"), "conv"))
+        if batch:
+            entries.append((f"{base}.{j + 1}", (f"block{bi}", "norm1"), "norm"))
+        j2 = j + 3 + (1 if use_dropout else 0) + (1 if pad_layers else 0)
+        entries.append((f"{base}.{j2}", (f"block{bi}", "conv2"), "conv"))
+        if batch:
+            entries.append((f"{base}.{j2 + 1}", (f"block{bi}", "norm2"), "norm"))
+    idx += n_blocks
+    for u in range(2):
+        entries.append((f"model.{idx}", (f"up{u}",), "convT"))
+        if batch:
+            entries.append((f"model.{idx + 1}", (f"up{u}_norm",), "norm"))
+        idx += 3
+    entries.append((f"model.{idx + 1}", ("head",), "conv"))  # after pad at idx
+    return entries
+
+
+def _torch_modules_to_flax(entries, state_dict) -> Dict:
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params: Dict = {}
+    stats: Dict = {}
+    handled = set()
+    for tp, path, kind in entries:
+        w, b = f"{tp}.weight", f"{tp}.bias"
+        if kind in ("conv", "convT"):
+            _set(params, path + ("kernel",),
+                 (_conv_w if kind == "conv" else _convT_w)(sd[w]))
+            handled.add(w)
+            if b in sd:
+                _set(params, path + ("bias",), _f32(sd[b]))
+                handled.add(b)
+        else:  # norm (BatchNorm: affine + running stats)
+            _set(params, path + ("scale",), _f32(sd[w]))
+            _set(params, path + ("bias",), _f32(sd[b]))
+            _set(stats, path + ("mean",), _f32(sd[f"{tp}.running_mean"]))
+            _set(stats, path + ("var",), _f32(sd[f"{tp}.running_var"]))
+            handled.update({w, b, f"{tp}.running_mean", f"{tp}.running_var"})
+    leftover = [k for k in sd if k not in handled and "num_batches_tracked" not in k]
+    if leftover:
+        raise ValueError(f"unconverted torch keys: {leftover[:10]}")
+    return {"params": params, "batch_stats": stats}
+
+
+def _flax_modules_to_torch(entries, variables) -> Dict[str, np.ndarray]:
+    def get(tree, path):
+        for k in path:
+            tree = tree[k]
+        return tree
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+    for tp, path, kind in entries:
+        if kind in ("conv", "convT"):
+            node = get(params, path)
+            back = _conv_back if kind == "conv" else _convT_back
+            out[f"{tp}.weight"] = back(node["kernel"])
+            if "bias" in node:
+                out[f"{tp}.bias"] = np.asarray(node["bias"])
+        else:
+            node = get(params, path)
+            out[f"{tp}.weight"] = np.asarray(node["scale"])
+            out[f"{tp}.bias"] = np.asarray(node["bias"])
+            snode = get(stats, path)
+            out[f"{tp}.running_mean"] = np.asarray(snode["mean"])
+            out[f"{tp}.running_var"] = np.asarray(snode["var"])
+    return out
+
+
+def _conv_back(k) -> np.ndarray:
+    return np.asarray(k).transpose(3, 2, 0, 1)
+
+
+def infer_unet_num_downs(state_dict) -> int:
+    """Nesting depth of the recursive UnetSkipConnectionBlock chain."""
+    return max(k.count(".model.") for k in state_dict)
+
+
+def torch_unet_state_dict_to_flax(state_dict, *, num_downs: int | None = None,
+                                  norm: str = "batch") -> Dict:
+    if num_downs is None:
+        num_downs = infer_unet_num_downs(state_dict)
+    return _torch_modules_to_flax(_unet_layout(num_downs, norm), state_dict)
+
+
+def unet_flax_to_torch_state_dict(variables, *, num_downs: int = 8,
+                                  norm: str = "batch") -> Dict[str, np.ndarray]:
+    return _flax_modules_to_torch(_unet_layout(num_downs, norm), variables)
+
+
+def torch_patchgan_state_dict_to_flax(state_dict, *, n_layers: int = 3,
+                                      norm: str = "batch") -> Dict:
+    return _torch_modules_to_flax(_patchgan_layout(n_layers, norm), state_dict)
+
+
+def patchgan_flax_to_torch_state_dict(variables, *, n_layers: int = 3,
+                                      norm: str = "batch") -> Dict[str, np.ndarray]:
+    return _flax_modules_to_torch(_patchgan_layout(n_layers, norm), variables)
+
+
+def torch_resnet_generator_state_dict_to_flax(
+        state_dict, *, n_blocks: int, norm: str = "batch",
+        use_dropout: bool = False, padding_type: str = "reflect") -> Dict:
+    return _torch_modules_to_flax(
+        _resnet_gen_layout(n_blocks, norm, use_dropout, padding_type), state_dict)
+
+
+def resnet_generator_flax_to_torch_state_dict(
+        variables, *, n_blocks: int, norm: str = "batch",
+        use_dropout: bool = False, padding_type: str = "reflect") -> Dict[str, np.ndarray]:
+    return _flax_modules_to_torch(
+        _resnet_gen_layout(n_blocks, norm, use_dropout, padding_type), variables)
+
+
+def torch_gan_checkpoint_to_flax(ckpt: Mapping, *, norm: str = "batch",
+                                 n_layers: int = 3) -> Dict:
+    """Reference GAN checkpoint (main.py:128-136 / main_gan.py:110-114 keys)
+    -> the native {'epoch', 'g_vars', 'd_vars', 'sem_vars'} layout used by
+    cli/main.py. Generator state_dicts are assumed UNet (the reference GAN
+    recipe uses unet_256, main.py:76-77); the frozen legacy sem nets, when
+    present, convert via torch_legacy_state_dict_to_flax."""
+    out: Dict = {"epoch": int(ckpt["epoch"]), "g_vars": {}, "d_vars": {}}
+    for key, name in (("net_g_s2t_state_dict", "s2t"),
+                      ("net_g_t2s_state_dict", "t2s")):
+        if key in ckpt:
+            out["g_vars"][name] = torch_unet_state_dict_to_flax(ckpt[key], norm=norm)
+    for key, name in (("net_d_t_state_dict", "t"), ("net_d_s_state_dict", "s")):
+        if key in ckpt:
+            out["d_vars"][name] = torch_patchgan_state_dict_to_flax(
+                ckpt[key], n_layers=n_layers, norm=norm)
+    sem = {}
+    for key, name in (("net_seg_s_state_dict", "s"), ("net_seg_t_state_dict", "t")):
+        if key in ckpt:
+            sem[name] = torch_legacy_state_dict_to_flax(ckpt[key])
+    if sem:
+        out["sem_vars"] = sem
+    return out
+
+
+def flax_gan_checkpoint_to_torch(ckpt: Mapping, *, norm: str = "batch",
+                                 n_layers: int = 3, num_downs: int = 8) -> Dict:
+    """Inverse: export the native GAN checkpoint back to the reference keys."""
+    out: Dict = {"epoch": int(ckpt["epoch"])}
+    for name, key in (("s2t", "net_g_s2t_state_dict"),
+                      ("t2s", "net_g_t2s_state_dict")):
+        if name in ckpt.get("g_vars", {}):
+            out[key] = unet_flax_to_torch_state_dict(
+                ckpt["g_vars"][name], num_downs=num_downs, norm=norm)
+    for name, key in (("t", "net_d_t_state_dict"), ("s", "net_d_s_state_dict")):
+        if name in ckpt.get("d_vars", {}):
+            out[key] = patchgan_flax_to_torch_state_dict(
+                ckpt["d_vars"][name], n_layers=n_layers, norm=norm)
+    return out
+
+
 def flax_to_torch_state_dict(variables: Mapping) -> Dict[str, np.ndarray]:
     """Inverse map, for exporting checkpoints back to the reference layout."""
     params = variables["params"]

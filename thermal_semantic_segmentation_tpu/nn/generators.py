@@ -42,9 +42,12 @@ def _conv(features, k, s, pad, use_bias, name, init=None):
 
 
 def _convT(features, use_bias, name, k=4, init=None):
-    # 'SAME' on a stride-2 transpose conv yields exactly 2H, matching torch
-    # ConvTranspose2d(k=4,s=2,p=1) and (k=3,s=2,p=1,output_padding=1) geometry.
-    return nn.ConvTranspose(features, (k, k), strides=(2, 2), padding="SAME",
+    # Explicit padding matching torch ConvTranspose2d(k=4,s=2,p=1) and
+    # (k=3,s=2,p=1,output_padding=1): lax.conv_transpose pad per edge is
+    # (k-1-p, k-1-p+output_padding). Both give exactly 2H, with the same
+    # left/right placement as torch, so converted checkpoints are bit-aligned.
+    pad = (k - 2, k - 2 + (k % 2))
+    return nn.ConvTranspose(features, (k, k), strides=(2, 2), padding=[pad, pad],
                             use_bias=use_bias, kernel_init=init or _GAIN_INIT,
                             name=name)
 
@@ -72,7 +75,9 @@ class UnetGenerator(nn.Module):
 
         # encoder; ys[d] is the input to decoder stage d's skip concat
         ys = []
-        h = _conv(filters[0], 4, 2, 1, True, "down0", init)(x)  # outermost: conv only
+        # outermost: conv only; bias follows the norm rule like every other
+        # downconv (models/generators.py:196-197 passes bias=use_bias here too)
+        h = _conv(filters[0], 4, 2, 1, use_bias, "down0", init)(x)
         ys.append(h)
         for d in range(1, self.num_downs):
             h = nn.leaky_relu(h, 0.2)
