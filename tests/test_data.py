@@ -160,3 +160,42 @@ def test_cityscapes_translation_mode_paths(tmp_path):
     assert item["image"].shape == (256, 512, 3)
     assert "translation" in item["img_path"]
     assert "leftImg8bit" not in item["img_path"]
+
+
+def test_loader_tolerates_truncated_png(tmp_path):
+    """A truncated PNG must not kill the epoch (reference sets PIL
+    LOAD_TRUNCATED_IMAGES=True at every entry point, main.py:17)."""
+    root = make_freiburg_tree(str(tmp_path / "fr"), n_train=6)
+    victim = f"{root}/train/seq_00_day/00/fl_ir_aligned/0002.png"
+    data = open(victim, "rb").read()
+    with open(victim, "wb") as f:          # cut the file mid-IDAT
+        f.write(data[: len(data) // 2])
+
+    ds = Freiburg(root, "train", "IR", transforms=val_transform())
+    loader = DataLoader(ds, 2, shuffle=False, drop_last=False, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert all(b["image"].shape == (2, 256, 512, 1) for b in batches)
+
+
+def test_loader_substitutes_unreadable_file(tmp_path):
+    """A file PIL cannot parse at all is deterministically replaced by
+    another sample instead of aborting (loader corrupt_retries)."""
+    root = make_freiburg_tree(str(tmp_path / "fr"), n_train=6)
+    victim = f"{root}/train/seq_00_day/00/fl_ir_aligned/0001.png"
+    with open(victim, "wb") as f:
+        f.write(b"this is not a png at all")
+
+    ds = Freiburg(root, "train", "IR", transforms=val_transform())
+    loader = DataLoader(ds, 2, shuffle=False, drop_last=False, seed=0)
+    run1 = [np.asarray(b["image"]) for b in loader]
+    assert len(run1) == 3
+    loader2 = DataLoader(ds, 2, shuffle=False, drop_last=False, seed=0)
+    run2 = [np.asarray(b["image"]) for b in loader2]
+    for a, b in zip(run1, run2):           # substitution is deterministic
+        np.testing.assert_array_equal(a, b)
+
+    strict = DataLoader(ds, 2, shuffle=False, drop_last=False, seed=0,
+                        corrupt_retries=0)
+    with pytest.raises(Exception):
+        list(strict)

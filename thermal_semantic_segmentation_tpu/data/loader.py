@@ -10,6 +10,7 @@ host decode overlaps device compute.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import logging
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
@@ -44,7 +45,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  indices: Optional[Sequence[int]] = None, drop_last: bool = True,
                  seed: int = 0, num_threads: int = 8,
-                 collate: Callable = default_collate, prefetch: int = 2):
+                 collate: Callable = default_collate, prefetch: int = 2,
+                 corrupt_retries: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -54,6 +56,10 @@ class DataLoader:
         self.num_threads = num_threads
         self.collate = collate
         self.prefetch = prefetch
+        # Unreadable samples (beyond what PIL's LOAD_TRUNCATED_IMAGES absorbs,
+        # data/__init__.py) are replaced by a deterministic substitute instead
+        # of aborting the epoch; 0 disables and re-raises.
+        self.corrupt_retries = corrupt_retries
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -74,8 +80,19 @@ class DataLoader:
         self.epoch += 1
 
         def fetch(idx: int) -> dict:
-            rng = host_rng(self.seed, epoch, idx)
-            return self.dataset.get(idx, rng)
+            for attempt in range(self.corrupt_retries + 1):
+                # deterministic substitute chain: same (seed, epoch, idx)
+                # always yields the same replacement sample
+                use = idx if attempt == 0 else self.indices[
+                    (idx * 1009 + attempt * 9176) % len(self.indices)]
+                try:
+                    return self.dataset.get(use, host_rng(self.seed, epoch, use))
+                except Exception:
+                    if attempt == self.corrupt_retries:
+                        raise
+                    logging.getLogger(__name__).warning(
+                        "failed to load sample %d (attempt %d); substituting",
+                        use, attempt + 1, exc_info=True)
 
         with cf.ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             pending = []
