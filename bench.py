@@ -72,6 +72,9 @@ def main():
         "value": round(per_chip, 2),
         "unit": "images/s",
         "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC, 2),
+        # the reference publishes no throughput; the denominator is an
+        # estimated 20 img/s V100-class anchor, not a measured GPU run
+        "baseline_estimated": True,
     }))
 
 

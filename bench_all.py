@@ -1,0 +1,240 @@
+"""Secondary benchmarks: GAN, self-train, pseudo-gen, and eval throughput.
+
+``bench.py`` stays the driver-facing headline (seg-train img/s, one JSON
+line); this script measures the remaining driver configs (BASELINE.md rows
+3-5) on the real chip. Each benchmark prints one JSON line.
+
+Usage: python bench_all.py [seg|gan|self_train|pseudo|eval ...]
+(defaults to all; GAN compiles ~10 min over the axon tunnel).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+HW = (256, 512)
+
+
+def _sync(x):
+    return float(jnp.sum(x))  # host fetch: the only reliable axon sync
+
+
+def bench_seg():
+    from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+    from thermal_semantic_segmentation_tpu.train.seg import (
+        create_seg_state, make_seg_train_step)
+    B = 8
+    model, variables = create_deeplab(jax.random.key(0), num_classes=13,
+                                      num_channels=1, dtype=jnp.bfloat16,
+                                      image_size=HW)
+    state = create_seg_state(model, variables, learning_rate=1e-4)
+    step = make_seg_train_step(ignore_index=12, label_hw=HW, base_lr=1e-4)
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 1, (B, *HW, 1)).astype(np.float32))
+    label = jnp.asarray(rng.integers(0, 13, (B, *HW)))
+    for _ in range(3):
+        state, loss = step(state, image, label)
+    _sync(loss)
+    t, n = time.perf_counter(), 20
+    for _ in range(n):
+        state, loss = step(state, image, label)
+    _sync(loss)
+    dt = time.perf_counter() - t
+    return {"metric": "seg_train_images_per_sec_per_chip",
+            "value": round(B * n / dt, 2), "unit": "images/s", "batch": B}
+
+
+def bench_gan():
+    """Full CycleGAN iteration: jitted G step + host ImagePool + jitted D step
+    (the reference's train.py:138-223 loop body), unet_256 x2 + PatchGAN x2."""
+    from thermal_semantic_segmentation_tpu.models.factory import (
+        init_gan_net, patchgan, unet_256)
+    from thermal_semantic_segmentation_tpu.ops.image_pool import ImagePool
+    from thermal_semantic_segmentation_tpu.train.gan import (
+        create_gan_state, make_gan_steps)
+    B = 4  # reference GAN default batch (options.py:5)
+    key = jax.random.key(0)
+    dtype = jnp.bfloat16
+    g_s2t = unet_256(output_nc=1, dtype=dtype)
+    g_t2s = unet_256(output_nc=3, dtype=dtype)
+    d_t, d_s = patchgan(dtype=dtype), patchgan(dtype=dtype)
+    g_vars = {"s2t": init_gan_net(g_s2t, key, (1, *HW, 3)),
+              "t2s": init_gan_net(g_t2s, key, (1, *HW, 1))}
+    d_vars = {"t": init_gan_net(d_t, key, (1, *HW, 1)),
+              "s": init_gan_net(d_s, key, (1, *HW, 3))}
+    state = create_gan_state(g_vars=g_vars, d_vars=d_vars, learning_rate=1e-4)
+    g_step, d_step = make_gan_steps(
+        g_apply={"s2t": g_s2t.apply, "t2s": g_t2s.apply},
+        d_apply={"t": d_t.apply, "s": d_s.apply}, cycle=True)
+    pools = {"t": ImagePool(50, seed=0), "s": ImagePool(50, seed=1)}
+    rng = np.random.default_rng(0)
+    real_s = jnp.asarray(rng.uniform(-1, 1, (B, *HW, 3)).astype(np.float32))
+    real_t = jnp.asarray(rng.uniform(-1, 1, (B, *HW, 1)).astype(np.float32))
+
+    def one_iter(state):
+        state, metrics, outs = g_step(state, real_s, real_t, None, None,
+                                      with_sem=False)
+        fakes = {"t": jnp.asarray(pools["t"].query(outs["fake_t"])),
+                 "s": jnp.asarray(pools["s"].query(outs["fake_s"]))}
+        state, d_metrics = d_step(state, {"t": real_t, "s": real_s}, fakes)
+        return state, metrics["g_s2t"]
+
+    for _ in range(2):
+        state, m = one_iter(state)
+    _sync(m)
+    t, n = time.perf_counter(), 10
+    for _ in range(n):
+        state, m = one_iter(state)
+    _sync(m)
+    dt = time.perf_counter() - t
+    return {"metric": "gan_train_steps_per_sec", "value": round(n / dt, 3),
+            "unit": "steps/s", "batch": B,
+            "images_per_sec": round(B * n / dt, 2)}
+
+
+def bench_gan_fused():
+    """One fused jitted G + device-pool + D step (the default trainer)."""
+    from thermal_semantic_segmentation_tpu.models.factory import (
+        init_gan_net, patchgan, unet_256)
+    from thermal_semantic_segmentation_tpu.train.gan import (
+        create_gan_state, make_fused_gan_step)
+    B = 4
+    key = jax.random.key(0)
+    dtype = jnp.bfloat16
+    g_s2t = unet_256(output_nc=1, dtype=dtype)
+    g_t2s = unet_256(output_nc=3, dtype=dtype)
+    d_t, d_s = patchgan(dtype=dtype), patchgan(dtype=dtype)
+    g_vars = {"s2t": init_gan_net(g_s2t, key, (1, *HW, 3)),
+              "t2s": init_gan_net(g_t2s, key, (1, *HW, 1))}
+    d_vars = {"t": init_gan_net(d_t, key, (1, *HW, 1)),
+              "s": init_gan_net(d_s, key, (1, *HW, 3))}
+    state = create_gan_state(g_vars=g_vars, d_vars=d_vars, learning_rate=1e-4)
+    step, make_pools = make_fused_gan_step(
+        pool_size=50,
+        g_apply={"s2t": g_s2t.apply, "t2s": g_t2s.apply},
+        d_apply={"t": d_t.apply, "s": d_s.apply}, cycle=True)
+    pools = make_pools({"t": (*HW, 1), "s": (*HW, 3)}, dtype=dtype, seed=0)
+    rng = np.random.default_rng(0)
+    real_s = jnp.asarray(rng.uniform(-1, 1, (B, *HW, 3)).astype(np.float32))
+    real_t = jnp.asarray(rng.uniform(-1, 1, (B, *HW, 1)).astype(np.float32))
+    for _ in range(2):
+        state, pools, m = step(state, pools, real_s, real_t)
+    _sync(m["g_s2t"])
+    t, n = time.perf_counter(), 10
+    for _ in range(n):
+        state, pools, m = step(state, pools, real_s, real_t)
+    _sync(m["g_s2t"])
+    dt = time.perf_counter() - t
+    return {"metric": "gan_train_fused_steps_per_sec", "value": round(n / dt, 3),
+            "unit": "steps/s", "batch": B,
+            "images_per_sec": round(B * n / dt, 2)}
+
+
+def bench_self_train():
+    """One jitted self-train update (source CE + proto-rectified pseudo CE +
+    RCE + EMA + prototype update), reference shapes (self_training.py:49)."""
+    from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+    from thermal_semantic_segmentation_tpu.train.self_train import (
+        create_self_train_state, make_self_train_step)
+    B = 4
+    model, variables = create_deeplab(jax.random.key(0), num_classes=13,
+                                      num_channels=1, dtype=jnp.bfloat16,
+                                      image_size=HW)
+    rng = np.random.default_rng(0)
+    state = create_self_train_state(
+        model, variables, prototypes=rng.standard_normal((13, 256)) * 0.1,
+        learning_rate=1e-6)
+    step = make_self_train_step(model, num_classes=13, ignore_index=12,
+                                base_lr=1e-6, train_thred=0.3, label_hw=HW)
+    batch = dict(
+        source_image=jnp.asarray(rng.uniform(0, 1, (B, *HW, 1)).astype(np.float32)),
+        source_label=jnp.asarray(rng.integers(0, 13, (B, *HW))),
+        target_image=jnp.asarray(rng.uniform(0, 1, (B, *HW, 1)).astype(np.float32)),
+        target_image_full=jnp.asarray(rng.uniform(0, 1, (B, 320, 700, 1)).astype(np.float32)),
+        target_lp_soft=jnp.asarray(rng.uniform(0, 1, (B, 13, *HW)).astype(np.float32)),
+        target_lp_hard=jnp.asarray(rng.integers(0, 13, (B, *HW))),
+        weak_params={"resized_hw": jnp.asarray([[600, 1312]] * B),
+                     "crop": jnp.asarray([[100, 356, 200, 712]] * B),
+                     "flip": jnp.asarray([True, False, True, False])},
+    )
+    for _ in range(2):
+        state, lp, ls = step(state, **batch)
+    _sync(lp)
+    t, n = time.perf_counter(), 10
+    for _ in range(n):
+        state, lp, ls = step(state, **batch)
+    _sync(lp)
+    dt = time.perf_counter() - t
+    return {"metric": "self_train_steps_per_sec", "value": round(n / dt, 3),
+            "unit": "steps/s", "batch": B,
+            "target_images_per_sec": round(B * n / dt, 2)}
+
+
+def bench_pseudo():
+    """Pseudo-label generation inference: fwd + softmax + flip-TTA + argmax
+    (generate_pseudo_label.py:60-96)."""
+    from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+    from thermal_semantic_segmentation_tpu.train.pseudo import make_pseudo_fns
+    B = 8
+    model, variables = create_deeplab(jax.random.key(0), num_classes=13,
+                                      num_channels=1, dtype=jnp.bfloat16,
+                                      image_size=HW)
+    step = make_pseudo_fns(model)[2]  # hard labels with flip TTA
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 1, (B, *HW, 1)).astype(np.float32))
+    out = step(variables, image)
+    _sync(jax.tree.leaves(out)[0])
+    t, n = time.perf_counter(), 20
+    for _ in range(n):
+        out = step(variables, image)
+    _sync(jax.tree.leaves(out)[0])
+    dt = time.perf_counter() - t
+    return {"metric": "pseudo_gen_images_per_sec", "value": round(B * n / dt, 2),
+            "unit": "images/s", "batch": B}
+
+
+def bench_eval():
+    from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+    from thermal_semantic_segmentation_tpu.train.seg import build_seg_eval_step
+    B = 8
+    model, variables = create_deeplab(jax.random.key(0), num_classes=13,
+                                      num_channels=1, dtype=jnp.bfloat16,
+                                      image_size=HW)
+    step = build_seg_eval_step(model, num_classes=13, ignore_index=12,
+                               label_hw=HW)
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 1, (B, *HW, 1)).astype(np.float32))
+    label = jnp.asarray(rng.integers(0, 13, (B, *HW)))
+    hist, loss, pred = step(variables, image, label)
+    _sync(loss)
+    t, n = time.perf_counter(), 20
+    for _ in range(n):
+        hist, loss, pred = step(variables, image, label)
+    _sync(loss)
+    dt = time.perf_counter() - t
+    return {"metric": "seg_eval_images_per_sec", "value": round(B * n / dt, 2),
+            "unit": "images/s", "batch": B}
+
+
+BENCHES = {"seg": bench_seg, "gan": bench_gan, "gan_fused": bench_gan_fused,
+           "self_train": bench_self_train, "pseudo": bench_pseudo,
+           "eval": bench_eval}
+
+
+def main():
+    names = sys.argv[1:] or list(BENCHES)
+    for name in names:
+        t = time.perf_counter()
+        result = BENCHES[name]()
+        result["compile_plus_run_sec"] = round(time.perf_counter() - t, 1)
+        print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -180,3 +180,67 @@ def test_one_direction_gan_steps():
                               {"t": jnp.asarray(pool.query(outs["fake_t"]))})
     for k, v in {**metrics, **d_metrics}.items():
         assert np.isfinite(float(v)), k
+
+
+def test_device_pool_matches_host_semantics():
+    """DevicePool: fill phase passes inputs through and stores them; once
+    full, ~50% of outputs come from the buffer (misc.py:135-183 semantics)."""
+    from thermal_semantic_segmentation_tpu.ops.image_pool import (
+        create_device_pool, device_pool_query)
+
+    P = 6
+    pool = create_device_pool(P, (2, 2, 1), seed=0)
+    rng = np.random.default_rng(1)
+    first = jnp.asarray(rng.normal(size=(P, 2, 2, 1)).astype(np.float32))
+    out, pool = device_pool_query(pool, first, pool_size=P)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(first))  # fill
+    assert int(pool.count) == P
+    np.testing.assert_array_equal(np.asarray(pool.buffer), np.asarray(first))
+
+    # full phase: outputs are either the incoming image or a stored one
+    stored = {float(x) for x in np.asarray(first).reshape(P, -1)[:, 0]}
+    swaps = 0
+    for step in range(20):
+        batch = jnp.full((4, 2, 2, 1), 100.0 + step, jnp.float32)
+        out, pool = device_pool_query(pool, batch, pool_size=P)
+        for v in np.asarray(out).reshape(4, -1)[:, 0]:
+            if float(v) != 100.0 + step:
+                swaps += 1
+    assert 10 <= swaps <= 70, swaps   # ~50% of 80 queries, generous bounds
+    assert int(pool.count) == P
+
+    # pool_size=0 -> pass-through
+    p0 = create_device_pool(0, (2, 2, 1))
+    out, p0 = device_pool_query(p0, first, pool_size=0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(first))
+
+
+@pytest.mark.slow
+def test_fused_gan_step():
+    """One jitted G+pool+D step: finite losses, advancing state, pool fills."""
+    from thermal_semantic_segmentation_tpu.train.gan import make_fused_gan_step
+
+    key = jax.random.key(0)
+    g_s2t = unet_32(ngf=8, output_nc=1)
+    g_t2s = unet_32(ngf=8, output_nc=3)
+    d_t, d_s = patchgan(ndf=8), patchgan(ndf=8)
+    g_vars = {"s2t": init_gan_net(g_s2t, key, (1, 32, 64, 3)),
+              "t2s": init_gan_net(g_t2s, key, (1, 32, 64, 1))}
+    d_vars = {"t": init_gan_net(d_t, key, (1, 32, 64, 1)),
+              "s": init_gan_net(d_s, key, (1, 32, 64, 3))}
+    state = create_gan_state(g_vars=g_vars, d_vars=d_vars, learning_rate=1e-4)
+    step, make_pools = make_fused_gan_step(
+        pool_size=8,
+        g_apply={"s2t": g_s2t.apply, "t2s": g_t2s.apply},
+        d_apply={"t": d_t.apply, "s": d_s.apply}, cycle=True)
+    pools = make_pools({"t": (32, 64, 1), "s": (32, 64, 3)}, seed=0)
+
+    rng = np.random.default_rng(0)
+    real_s = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 3)).astype(np.float32))
+    real_t = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 1)).astype(np.float32))
+    for _ in range(3):
+        state, pools, metrics = step(state, pools, real_s, real_t)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert int(state.step) == 3
+    assert int(pools["t"].count) == 6  # 3 steps x batch 2, below pool_size

@@ -128,3 +128,77 @@ def test_gan_steps_sharded():
     state, d_metrics = d_step(state, {"s": real_s, "t": real_t}, fakes)
     for k, v in {**metrics, **d_metrics}.items():
         assert np.isfinite(float(v)), k
+
+
+def _stats_leaves(state):
+    return jax.tree.map(np.asarray, state.batch_stats)
+
+
+def test_per_replica_bn_differs_from_sync_on_mesh():
+    """bn_mode='per_replica' (shard_map) normalizes with LOCAL batch stats:
+    the stored mean matches sync (mean of per-replica means == global mean)
+    but the variance lacks the between-replica term, so it must differ."""
+    from thermal_semantic_segmentation_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    model, variables = create_deeplab(jax.random.key(2), num_classes=13,
+                                      num_channels=1, layers=(1, 1, 1, 1),
+                                      image_size=(64, 128))
+    host_vars = jax.tree.map(np.asarray, variables)
+    rng = np.random.default_rng(3)
+    # per-replica distributions differ strongly -> between-replica variance
+    image = np.concatenate([
+        rng.uniform(i / 8, i / 8 + 0.1, (1, 64, 128, 1)) for i in range(8)
+    ]).astype(np.float32)
+    label = rng.integers(0, 13, (8, 64, 128))
+
+    results = {}
+    for mode in ("sync", "per_replica"):
+        state = replicate(mesh, create_seg_state(
+            model, jax.tree.map(jnp.asarray, host_vars), learning_rate=1e-3))
+        step = make_seg_train_step(ignore_index=12, label_hw=(64, 128),
+                                   base_lr=1e-3, bn_mode=mode, mesh=mesh)
+        sharded = shard_batch(mesh, (jnp.asarray(image), jnp.asarray(label)))
+        state, loss = step(state, *sharded)
+        assert np.isfinite(float(loss))
+        assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
+        results[mode] = _stats_leaves(state)
+
+    bn1 = lambda r: r["backbone"]["conv1_bn"] if "conv1_bn" in r.get(
+        "backbone", {}) else r["backbone"]["bn1"]
+    sync_bn, pr_bn = bn1(results["sync"]), bn1(results["per_replica"])
+    np.testing.assert_allclose(pr_bn["mean"], sync_bn["mean"], rtol=1e-4,
+                               atol=1e-6)
+    # extract the one-step batch-var contribution from the running update
+    # (var <- 0.9 * 1.0 + 0.1 * batch_var): sync sees the global batch var,
+    # per-replica the mean of within-replica vars -> strictly smaller here
+    bv_sync = (sync_bn["var"] - 0.9) / 0.1
+    bv_pr = (pr_bn["var"] - 0.9) / 0.1
+    assert bv_sync.mean() > 2.0 * bv_pr.mean(), (bv_sync.mean(), bv_pr.mean())
+
+
+def test_per_replica_bn_single_device_equals_sync():
+    """On a 1-device mesh, per-replica and sync BN stats are identical."""
+    from jax.sharding import Mesh
+    from thermal_semantic_segmentation_tpu.parallel.mesh import shard_batch
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    model, variables = create_deeplab(jax.random.key(4), num_classes=13,
+                                      num_channels=1, layers=(1, 1, 1, 1),
+                                      image_size=(64, 128))
+    host_vars = jax.tree.map(np.asarray, variables)
+    rng = np.random.default_rng(5)
+    image = jnp.asarray(rng.uniform(0, 1, (2, 64, 128, 1)).astype(np.float32))
+    label = jnp.asarray(rng.integers(0, 13, (2, 64, 128)))
+
+    stats = {}
+    for mode in ("sync", "per_replica"):
+        state = replicate(mesh, create_seg_state(
+            model, jax.tree.map(jnp.asarray, host_vars), learning_rate=1e-3))
+        step = make_seg_train_step(ignore_index=12, label_hw=(64, 128),
+                                   base_lr=1e-3, bn_mode=mode, mesh=mesh)
+        state, _ = step(state, *shard_batch(mesh, (image, label)))
+        stats[mode] = _stats_leaves(state)
+    a, b = jax.tree.leaves(stats["sync"]), jax.tree.leaves(stats["per_replica"])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-7)

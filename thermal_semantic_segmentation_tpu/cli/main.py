@@ -25,7 +25,8 @@ from ..data.simple import FlirTrain, Kitti
 from ..models.factory import (deeplabv2_resnet101, deeplabv2_resnet101_thermal,
                               init_gan_net, patchgan, unet_256)
 from ..ops.image_pool import ImagePool
-from ..train.gan import GanTrainState, create_gan_state, make_gan_steps
+from ..train.gan import (GanTrainState, create_gan_state,
+                         make_fused_gan_step, make_gan_steps)
 from ..utils.meters import AverageMeter, ProgressMeter
 from .options import train_parse
 
@@ -119,7 +120,7 @@ def gan_main(args):
     mesh = make_mesh()
     state = replicate(mesh, create_gan_state(g_vars=g_vars, d_vars=d_vars,
                                              learning_rate=args.lr))
-    g_step, d_step = make_gan_steps(
+    step_kwargs = dict(
         g_apply={k: m.apply for k, m in nets["g"].items()},
         d_apply={k: m.apply for k, m in nets["d"].items()},
         cycle=args.cycle, with_contour=args.with_contour,
@@ -127,9 +128,17 @@ def gan_main(args):
         canny_rgb_threshold=args.canny_rgb_threshold,
         canny_thermal_threshold=args.canny_thermal_threshold,
         sem_apply=sem_apply)
-
-    pools = {k: ImagePool(50, seed=args.seed + i)
-             for i, k in enumerate(nets["d"])}
+    host_pool = getattr(args, "host_pool", False)
+    if host_pool:
+        g_step, d_step = make_gan_steps(**step_kwargs)
+        pools = {k: ImagePool(50, seed=args.seed + i)
+                 for i, k in enumerate(nets["d"])}
+    else:
+        fused_step, make_pools = make_fused_gan_step(pool_size=50, **step_kwargs)
+        shapes = {"t": (256, 512, t_nc)}
+        if args.cycle:
+            shapes["s"] = (256, 512, s_nc)
+        pools = make_pools(shapes, dtype=dtype, seed=args.seed)
 
     os.makedirs(args.gan_model_root_path, exist_ok=True)
     print("--------START TRAINING--------")
@@ -148,17 +157,23 @@ def gan_main(args):
                                                 jnp.asarray(t_batch["image"])))
             label_s = shard_batch(mesh, jnp.asarray(s_batch["label"])) if (
                 args.sem_loss and "label" in s_batch) else None
-            state, metrics, outs = g_step(state, real_s, real_t, label_s,
-                                          sem_vars, with_sem=args.sem_loss)
-            reals = {"t": real_t}
-            fakes = {"t": jnp.asarray(pools["t"].query(outs["fake_t"]))}
-            if args.cycle:
-                reals["s"] = real_s
-                fakes["s"] = jnp.asarray(pools["s"].query(outs["fake_s"]))
-            fakes = shard_batch(mesh, fakes)
-            state, d_metrics = d_step(state, reals, fakes)
+            if host_pool:
+                state, metrics, outs = g_step(state, real_s, real_t, label_s,
+                                              sem_vars, with_sem=args.sem_loss)
+                reals = {"t": real_t}
+                fakes = {"t": jnp.asarray(pools["t"].query(outs["fake_t"]))}
+                if args.cycle:
+                    reals["s"] = real_s
+                    fakes["s"] = jnp.asarray(pools["s"].query(outs["fake_s"]))
+                fakes = shard_batch(mesh, fakes)
+                state, d_metrics = d_step(state, reals, fakes)
+                all_metrics = {**metrics, **d_metrics}
+            else:
+                state, pools, all_metrics = fused_step(
+                    state, pools, real_s, real_t, label_s, sem_vars,
+                    with_sem=args.sem_loss)
             if i % args.log_interval == 0:
-                vals = {k: float(v) for k, v in {**metrics, **d_metrics}.items()}
+                vals = {k: float(v) for k, v in all_metrics.items()}
                 for k, v in vals.items():
                     if k in meters:
                         meters[k].update(v, real_s.shape[0])

@@ -60,6 +60,10 @@ def train_parse():
     parser.add_argument('-canny_rgb_threshold', type=float, default=2.5)
     parser.add_argument('-cycle', type=str2bool, default=True,
                         help='CycleGAN (main.py) vs one-direction GAN (main_gan.py).')
+    parser.add_argument('-host_pool', type=str2bool, default=False,
+                        help='reference-style host-side ImagePool between '
+                             'separate G/D steps (slow over the axon tunnel); '
+                             'default is the fused step with a device pool.')
     parser.add_argument('-sem_checkpoint_s', type=str, default='',
                         help='pretrained 3-ch legacy DeepLab weights (.pth torch '
                              'or native) for the frozen RGB sem net; the '
@@ -131,6 +135,11 @@ def seg_parse():
                              '(host pipeline only decodes).')
     parser.add_argument('-lr_groups', type=str2bool, default=False,
                         help='1x backbone / 10x head LR split.')
+    parser.add_argument('-bn_mode', type=str, default='sync',
+                        choices=['sync', 'per_replica'],
+                        help="batch-norm stats under the mesh: 'sync' sees "
+                             "the global batch; 'per_replica' matches the "
+                             "reference's single-device BN semantics.")
     _add_roots(parser)
     return parser
 

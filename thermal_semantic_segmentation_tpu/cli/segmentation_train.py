@@ -79,7 +79,9 @@ def seg_main(args, logger):
     train_step = make_seg_train_step(ignore_index=args.ignore_index,
                                      label_hw=(256, 512), base_lr=args.lr,
                                      dropout_seed=args.seed,
-                                     device_augment=device_aug)
+                                     device_augment=device_aug,
+                                     bn_mode=getattr(args, "bn_mode", "sync"),
+                                     mesh=mesh)
     eval_step = build_seg_eval_step(model, num_classes=args.num_classes,
                                     ignore_index=args.ignore_index,
                                     label_hw=(256, 512))

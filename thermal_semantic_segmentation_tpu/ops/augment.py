@@ -111,11 +111,17 @@ def random_resized_crop_flip(key: jax.Array, images: jax.Array, *,
         nr = jnp.clip(jnp.floor(top[:, None] + jr * (h[:, None] / oh)), 0, H - 1).astype(jnp.int32)
         nc = jnp.clip(jnp.floor(left[:, None] + jc * (w[:, None] / ow)), 0, W - 1).astype(jnp.int32)
         nc = jnp.where(flip[:, None], nc[:, ::-1], nc)
-
-        def gather(lab, r, c):
-            return lab[r][:, c]
-
-        out_labels = jax.vmap(gather)(labels, nr, nc)
+        # one-hot selection-matrix contraction instead of an index gather
+        # (repo rule: TPU gathers at image shapes are ~30x slower than the
+        # equivalent matmul; exact for integer labels < 2^24)
+        mr = jax.nn.one_hot(nr, H, dtype=jnp.float32)   # (B, oh, H)
+        mc = jax.nn.one_hot(nc, W, dtype=jnp.float32)   # (B, ow, W)
+        lf = labels.astype(jnp.float32)
+        sel = jnp.einsum("boh,bhw->bow", mr, lf, precision="highest",
+                         preferred_element_type=jnp.float32)
+        sel = jnp.einsum("bpw,bow->bop", mc, sel, precision="highest",
+                         preferred_element_type=jnp.float32)
+        out_labels = jnp.round(sel).astype(labels.dtype)
     return out, out_labels
 
 

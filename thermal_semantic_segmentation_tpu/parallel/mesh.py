@@ -11,11 +11,12 @@ Multi-host extension: call ``jax.distributed.initialize()`` before
 
 BatchNorm semantics under the mesh: reductions over the batch axis inside the
 jitted step see the GLOBAL batch (XLA inserts the cross-replica collectives),
-so BN here is synchronized batch norm. The single-device reference trains BN
-per device trivially; its commented-out SyncBN import (models/deeplabv2.py:10)
-is what this gives for free. Per-replica BN (behavior-faithful to multi-GPU
-torch without SyncBN) would require shard_map and is intentionally not the
-default.
+so BN here is synchronized batch norm by default. The single-device reference
+trains BN per device trivially; its commented-out SyncBN import
+(models/deeplabv2.py:10) is what this gives for free. Per-replica BN
+(behavior-faithful to multi-GPU torch without SyncBN) is available via
+``make_seg_train_step(bn_mode='per_replica', mesh=...)`` — a shard_map over
+the 'data' axis with pmean'd grads/running-stats (train/seg.py).
 """
 
 from __future__ import annotations

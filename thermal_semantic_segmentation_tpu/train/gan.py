@@ -1,7 +1,12 @@
 """GAN translation training (CycleGAN and one-direction variants).
 
-Re-design of the reference trainers (train.py:87-262, train_gan.py:87-186) as
-two jitted steps with an explicit host boundary at the ImagePool:
+Re-design of the reference trainers (train.py:87-262, train_gan.py:87-186).
+Two trainer shapes share the same update cores:
+
+- ``make_fused_gan_step``: G update + device-resident ImagePool + D update in
+  ONE jitted step — no host boundary in the hot loop (the default).
+- ``make_gan_steps``: two jitted steps with the host ImagePool in between
+  (reference-faithful loop shape; parity/debug path):
 
   g_step: all generator forwards (fake/rec), GAN + cycle + contour + semantic
           losses, one Adam update over the chained generator params — D params
@@ -85,16 +90,17 @@ def gan_to_seg_tensor(x: jax.Array, domain: str) -> jax.Array:
     return x
 
 
-def make_gan_steps(*, g_apply: Dict[str, Callable], d_apply: Dict[str, Callable],
-                   cycle: bool = True, gan_loss: str = "lsgan",
-                   cycle_weight: float = 10.0,
-                   with_contour: bool = False, grayscale_source: bool = False,
-                   canny_rgb_threshold: float = 2.5,
-                   canny_thermal_threshold: float = 1.0,
-                   contour_detached: bool = False,
-                   sem_apply: Optional[Dict[str, Callable]] = None,
-                   sem_ignore_classes: Tuple[int, ...] = ()):
-    """Build (g_step, d_step).
+def _make_gan_cores(*, g_apply: Dict[str, Callable], d_apply: Dict[str, Callable],
+                    cycle: bool = True, gan_loss: str = "lsgan",
+                    cycle_weight: float = 10.0,
+                    with_contour: bool = False, grayscale_source: bool = False,
+                    canny_rgb_threshold: float = 2.5,
+                    canny_thermal_threshold: float = 1.0,
+                    contour_detached: bool = False,
+                    sem_apply: Optional[Dict[str, Callable]] = None,
+                    sem_ignore_classes: Tuple[int, ...] = ()):
+    """Unjitted (g_core, d_core) update functions shared by the two-step and
+    fused GAN trainers.
 
     g_apply: {'s2t': apply_fn, 't2s': apply_fn?}; d_apply: {'t': ..., 's': ...?}
     sem_apply: {'s': apply_fn, 't': apply_fn} frozen legacy seg nets (optional).
@@ -106,8 +112,7 @@ def make_gan_steps(*, g_apply: Dict[str, Callable], d_apply: Dict[str, Callable]
                             train=True, mutable=["batch_stats"])
         return (out, mut["batch_stats"]) if want_stats else (out, stats)
 
-    @functools.partial(jax.jit, static_argnames=("with_sem",), donate_argnums=0)
-    def g_step(state: GanTrainState, real_s, real_t, label_s=None,
+    def g_core(state: GanTrainState, real_s, real_t, label_s=None,
                sem_vars=None, *, with_sem: bool = False):
         def loss_fn(g_params):
             metrics = {}
@@ -198,8 +203,7 @@ def make_gan_steps(*, g_apply: Dict[str, Callable], d_apply: Dict[str, Callable]
         metrics["loss_g"] = loss
         return state, metrics, outs
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def d_step(state: GanTrainState, reals: Dict[str, jax.Array],
+    def d_core(state: GanTrainState, reals: Dict[str, jax.Array],
                pooled_fakes: Dict[str, jax.Array]):
         def loss_fn(d_params):
             metrics = {}
@@ -224,4 +228,57 @@ def make_gan_steps(*, g_apply: Dict[str, Callable], d_apply: Dict[str, Callable]
         state = state.replace(d_params=d_params, d_stats=new_stats, opt_d=new_opt_d)
         return state, metrics
 
+    return g_core, d_core
+
+
+def make_gan_steps(**kwargs):
+    """Build (g_step, d_step): the two separately-jitted updates with the
+    host-side ImagePool boundary in between (reference-faithful loop shape,
+    train.py:208-223). See _make_gan_cores for the argument list."""
+    g_core, d_core = _make_gan_cores(**kwargs)
+    g_step = jax.jit(g_core, static_argnames=("with_sem",), donate_argnums=0)
+    d_step = jax.jit(d_core, donate_argnums=0)
     return g_step, d_step
+
+
+def make_fused_gan_step(*, pool_size: int = 50, **kwargs):
+    """ONE jitted step: G update -> device ImagePool query -> D update.
+
+    The reference alternates G and D with a host-side ImagePool in between
+    (train.py:208-223, misc.py:135-183); over the axon tunnel that host
+    boundary serializes every iteration (measured: the two-step + host-pool
+    loop runs at 1.3 steps/s vs the fused step's device-resident pool).
+
+    Returns (step, make_pools) where
+      step(state, pools, real_s, real_t, label_s=None, sem_vars=None,
+           with_sem=False) -> (state, pools, metrics)
+      make_pools(shapes: {name: (H, W, C)}, dtype, seed) -> {name: DevicePool}
+    """
+    from ..ops.image_pool import create_device_pool, device_pool_query
+
+    cycle = kwargs.get("cycle", True)
+    g_core, d_core = _make_gan_cores(**kwargs)
+
+    @functools.partial(jax.jit, static_argnames=("with_sem",),
+                       donate_argnums=(0, 1))
+    def step(state: GanTrainState, pools, real_s, real_t, label_s=None,
+             sem_vars=None, *, with_sem: bool = False):
+        state, metrics, outs = g_core(state, real_s, real_t, label_s,
+                                      sem_vars, with_sem=with_sem)
+        reals = {"t": real_t}
+        fakes = {}
+        fakes["t"], pools["t"] = device_pool_query(pools["t"], outs["fake_t"],
+                                                   pool_size=pool_size)
+        if cycle:
+            reals["s"] = real_s
+            fakes["s"], pools["s"] = device_pool_query(
+                pools["s"], outs["fake_s"], pool_size=pool_size)
+        state, d_metrics = d_core(state, reals, fakes)
+        return state, pools, {**metrics, **d_metrics}
+
+    def make_pools(shapes, *, dtype=jnp.float32, seed: int = 0):
+        return {name: create_device_pool(pool_size, shape, dtype=dtype,
+                                         seed=seed + i)
+                for i, (name, shape) in enumerate(sorted(shapes.items()))}
+
+    return step, make_pools

@@ -84,20 +84,34 @@ def create_seg_state(model, variables, *, learning_rate: float,
 
 def make_seg_train_step(*, ignore_index: int, label_hw: Tuple[int, int] = (256, 512),
                         base_lr: float, dropout_seed: int = 0,
-                        device_augment: bool = False):
+                        device_augment: bool = False,
+                        bn_mode: str = "sync", mesh=None):
     """Returns jitted (state, image, label) -> (state, loss).
 
     device_augment=True: the step takes RAW full-resolution batches and runs
     the fused RandomResizedCrop+flip on device (ops.augment), so the host
     pipeline only decodes — no PIL in the hot loop.
+
+    bn_mode: 'sync' (default) — the jitted step sees the GLOBAL batch, so BN
+    batch stats are synchronized across the mesh (free SyncBN; the reference's
+    commented-out aspiration, models/deeplabv2.py:10). 'per_replica' — the
+    step runs under shard_map over the mesh's 'data' axis: each replica
+    normalizes with its LOCAL batch stats (behavior-faithful to the reference
+    single-device / torch-DDP-without-SyncBN semantics); gradients and the
+    stored running stats are pmean'd so the replicated state stays identical.
+    Requires ``mesh``.
     """
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def train_step(state: SegTrainState, image: jax.Array, label: jax.Array):
+    def step_core(state: SegTrainState, image: jax.Array, label: jax.Array,
+                  axis: str | None = None):
         rng = jax.random.fold_in(jax.random.key(dropout_seed), state.step)
+        if axis is not None:  # distinct dropout/aug streams per replica
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         if device_augment:
-            from ..ops.augment import random_resized_crop_flip
             aug_key = jax.random.fold_in(jax.random.key(dropout_seed + 1), state.step)
+            if axis is not None:
+                aug_key = jax.random.fold_in(aug_key, jax.lax.axis_index(axis))
+            from ..ops.augment import random_resized_crop_flip
             image, label = random_resized_crop_flip(
                 aug_key, image, labels=label, out_hw=label_hw)
 
@@ -111,6 +125,10 @@ def make_seg_train_step(*, ignore_index: int, label_hw: Tuple[int, int] = (256, 
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            new_stats = jax.lax.pmean(new_stats, axis)
         opt_state = _set_learning_rate(state.opt_state, base_lr * state.lr_scale)
         updates, new_opt_state = state.tx.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -118,7 +136,24 @@ def make_seg_train_step(*, ignore_index: int, label_hw: Tuple[int, int] = (256, 
                                   batch_stats=new_stats, opt_state=new_opt_state)
         return new_state, loss
 
-    return train_step
+    if bn_mode == "per_replica":
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        if mesh is None:
+            raise ValueError("bn_mode='per_replica' requires a mesh")
+        fn = shard_map(
+            functools.partial(step_core, axis=DATA_AXIS), mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()), check_rep=False)
+        return jax.jit(fn, donate_argnums=0)
+    if bn_mode != "sync":
+        raise ValueError(f"unknown bn_mode {bn_mode!r}")
+
+    return functools.partial(jax.jit(step_core, donate_argnums=0,
+                                     static_argnames="axis"), axis=None)
 
 
 def build_seg_eval_step(model, *, num_classes: int, ignore_index: int,
