@@ -1,0 +1,88 @@
+#!/usr/bin/env bash
+# Full RGB->thermal domain-adaptation recipe, end to end, in the reference
+# order (SURVEY.md driver configs 1-5):
+#
+#   1. CycleGAN translation training            (reference main.py)
+#   2. Offline translation of the RGB source    (translator.py)
+#   3. Supervised seg training on translations  (segmentation_train.py)
+#   4. Pseudo-label generation (soft + hard)    (generate_pseudo_label.py)
+#   5. Class-prototype calculation              (cal_prototype.py)
+#   6. Prototype-rectified self-training        (self_train_main.py)
+#   7. Final evaluation on the Freiburg IR test (segmentation_evaluate.py)
+#      -> asserts mean IoU >= MIN_MIOU (0.52 = the reference's own best-run
+#         save threshold, self_train_main.py:53).
+#
+# Run from a working directory that contains datasets/freiburg in the
+# reference layout (train/seq_*/NN/{fl_ir_aligned,fl_rgb,fl_rgb_labels},
+# test/day/{ImagesIR,SegmentationClass}). All knobs are env vars so the same
+# script drives both the real recipe and a synthetic-tree smoke run:
+#
+#   smoke:  MAX_STEPS=2 GAN_EPOCHS=1 SEG_EPOCHS=1 ST_EPOCHS=1 MIN_MIOU=0 \
+#           BATCH=2 recipes/full_pipeline.sh
+#   real:   recipes/full_pipeline.sh            (defaults below)
+set -euo pipefail
+
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+export PYTHONPATH="${REPO}${PYTHONPATH:+:${PYTHONPATH}}"
+
+GAN_EPOCHS=${GAN_EPOCHS:-65}        # options.py:15 default
+SEG_EPOCHS=${SEG_EPOCHS:-30}
+ST_EPOCHS=${ST_EPOCHS:-1}
+BATCH=${BATCH:-4}
+SEG_BATCH=${SEG_BATCH:-8}
+MAX_STEPS=${MAX_STEPS:-0}           # 0 = full epochs; >0 = smoke cap
+MIN_MIOU=${MIN_MIOU:-0.52}          # self_train_main.py:53 threshold
+TRANSLATION=${TRANSLATION:-translation}
+GAN_CKPT=${GAN_CKPT:-recipe_gan.pth}
+SEG_CKPT=${SEG_CKPT:-recipe_seg.pth}
+ST_CKPT=${ST_CKPT:-recipe_st.pth}
+SKIP_GAN=${SKIP_GAN:-0}             # 1 = reuse an existing ${GAN_CKPT}
+
+run() {
+  local mod=$1; shift
+  echo "+ [recipe] ${mod} $*"
+  python -u -m "thermal_semantic_segmentation_tpu.cli.${mod}" "$@"
+}
+
+if [ "${SKIP_GAN}" != "1" ]; then
+  run main -source_dataset freiburg_rgb -target_dataset freiburg_ir \
+      -batch_size "${BATCH}" -num_epoch "${GAN_EPOCHS}" -max_steps "${MAX_STEPS}" \
+      -checkpoint_name "${GAN_CKPT}" -new_checkpoint_name "${GAN_CKPT}"
+fi
+
+run translator -dataset freiburg_rgb -checkpoint_name "${GAN_CKPT}" \
+    -input_nc 3 -output_nc 1 -save_image_size 320 700 \
+    -translation_name_suffix "" --root .
+
+run segmentation_train -dataset freiburg_translation -net_mode one_channel \
+    -translation_name "${TRANSLATION}" -epochs "${SEG_EPOCHS}" \
+    -batch_size "${SEG_BATCH}" -val_batch_size "${SEG_BATCH}" \
+    -max_steps "${MAX_STEPS}" -new_checkpoint_name "${SEG_CKPT}"
+
+run generate_pseudo_label --root . -checkpoint_name "${SEG_CKPT}" \
+    -pseudo_type hard
+run generate_pseudo_label --root . -checkpoint_name "${SEG_CKPT}" \
+    -pseudo_type soft --soft true
+
+run cal_prototype -checkpoint_name "${SEG_CKPT}" -dataset freiburg_ir -root .
+
+run self_train_main --root . -checkpoint_name "${SEG_CKPT}" \
+    -new_checkpoint_name "${ST_CKPT}" -batch_size "${BATCH}" \
+    --epochs "${ST_EPOCHS}" -max_steps "${MAX_STEPS}" --val_interval 500 \
+    -translation_name "${TRANSLATION}"
+
+# Final eval: best self-train checkpoint on the Freiburg IR test split.
+EVAL_LOG=$(mktemp)
+run segmentation_evaluate -dataset freiburg_ir -checkpoint_name "best${ST_CKPT}" \
+    --root . | tee "${EVAL_LOG}"
+
+python - "$EVAL_LOG" "$MIN_MIOU" <<'PYEOF'
+import re, sys
+log, min_miou = open(sys.argv[1]).read(), float(sys.argv[2])
+m = re.search(r"mean iou score: \[([0-9.eE+-]+)\]", log)
+assert m, "no mean iou in eval output"
+miou = float(m.group(1))
+print(f"[recipe] final Freiburg-IR test mIoU = {miou:.4f} (threshold {min_miou})")
+assert miou >= min_miou, f"mIoU {miou:.4f} below threshold {min_miou}"
+print("[recipe] PASSED")
+PYEOF

@@ -59,3 +59,39 @@ def test_seg_checkpoint_resume_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["params"]["w"], variables["params"]["w"])
     np.testing.assert_array_equal(back["batch_stats"]["m"],
                                   variables["batch_stats"]["m"])
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """orbax sharded save/restore over the 8-device mesh: batch-sharded and
+    replicated arrays come back with their shardings intact."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from thermal_semantic_segmentation_tpu.core.checkpoint import (
+        abstract_like, load_sharded, save_sharded)
+    from thermal_semantic_segmentation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    data_sh = NamedSharding(mesh, P("data"))
+    repl_sh = NamedSharding(mesh, P())
+    tree = {
+        "params": {"w": jax.device_put(jnp.arange(32.0).reshape(8, 4), data_sh)},
+        "opt": {"mu": jax.device_put(jnp.ones((3, 3)), repl_sh)},
+        "step": jax.device_put(jnp.asarray(7, jnp.int32), repl_sh),
+    }
+    path = str(tmp_path / "sharded_ckpt")
+    save_sharded(path, tree)
+
+    restored = load_sharded(path, abstract_like(tree))
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(tree["params"]["w"]))
+    np.testing.assert_array_equal(np.asarray(restored["opt"]["mu"]),
+                                  np.asarray(tree["opt"]["mu"]))
+    assert int(restored["step"]) == 7
+    assert restored["params"]["w"].sharding == data_sh
+    assert restored["opt"]["mu"].sharding.is_fully_replicated
+
+    # resharding on restore: replicate what was batch-sharded
+    restored2 = load_sharded(path, abstract_like(tree, sharding=repl_sh))
+    assert restored2["params"]["w"].sharding.is_fully_replicated

@@ -88,8 +88,6 @@ def backbone_and_head_masks(params):
         top = path[0]
         return top in ("layer5", "bn_pretrain")
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
     def mask(pred):
         def build(path_pred):
             return jax.tree_util.tree_map_with_path(

@@ -3,8 +3,6 @@
 from __future__ import annotations
 
 
-
-
 class AverageMeter:
     def __init__(self, name: str, fmt: str = ":f"):
         self.name = name
