@@ -74,3 +74,42 @@ def test_rgb_batch_shapes(tmp_path):
 def test_missing_file_raises(tmp_path):
     with pytest.raises(IOError):
         nl.decode_ir_batch([str(tmp_path / "nope.png")])
+
+
+def test_loader_native_batch_path(tmp_path):
+    """Freiburg(native_decode=True) routes whole batches through the native
+    decoder; shapes/dtypes/value range match the PIL path (resize kernels
+    differ: bilinear vs BICUBIC, so values are statistically, not bitwise,
+    equal)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from synthetic import make_freiburg_tree
+    from thermal_semantic_segmentation_tpu.data import transforms as T
+    from thermal_semantic_segmentation_tpu.data.freiburg import Freiburg
+    from thermal_semantic_segmentation_tpu.data.loader import DataLoader
+
+    root = make_freiburg_tree(str(tmp_path / "fr"), n_train=6)
+    tf = T.Compose([T.Resize((128, 64)), T.ToArray()])
+    native_ds = Freiburg(root, "train", "IR", transforms=tf, native_decode=True)
+    pil_ds = Freiburg(root, "train", "IR", transforms=tf)
+
+    rngs = [np.random.default_rng(i) for i in range(3)]
+    batch = native_ds.get_batch([0, 1, 2], rngs)
+    assert batch is not None and len(batch) == 3
+    for i, s in enumerate(batch):
+        want = pil_ds.get(i, np.random.default_rng(i))
+        assert s["image"].shape == want["image"].shape == (64, 128, 1)
+        assert s["image"].dtype == np.float32
+        np.testing.assert_array_equal(s["label"], want["label"])
+        np.testing.assert_allclose(s["image"].mean(), want["image"].mean(),
+                                   atol=0.02)
+
+    loader = DataLoader(native_ds, 2, shuffle=False, drop_last=False, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert all(b["image"].shape == (2, 64, 128, 1) for b in batches)
+
+    # self-train / translation modes have no native path -> None
+    assert Freiburg(root, "train", "IR", transforms=tf, native_decode=True,
+                    segmentation_mode=True,
+                    ).get_batch([0], [np.random.default_rng(0)]) is None

@@ -42,14 +42,16 @@ def build_seg_dataset(args, transform, *, for_eval: bool = False):
             return FreiburgTest(args.freiburg_root, "test", "IR",
                                 transforms=transform, with_label=True)
         return Freiburg(args.freiburg_root, "train", "IR", transforms=transform,
-                        with_label=True)
+                        with_label=True,
+                        native_decode=getattr(args, "native_decode", False))
     if name == "freiburg_rgb":
         if for_eval:
             return FreiburgTest(args.freiburg_root, "test", "RGB",
                                 transforms=transform, with_label=True,
                                 grayscale=args.grayscale)
         return Freiburg(args.freiburg_root, "train", "RGB", transforms=transform,
-                        grayscale=args.grayscale, with_label=True)
+                        grayscale=args.grayscale, with_label=True,
+                        native_decode=getattr(args, "native_decode", False))
     if name == "freiburg_translation":
         if for_eval:
             return FreiburgTranslationPairs(

@@ -48,7 +48,8 @@ def build_gan_datasets(args):
         source = Cityscapes(args.source_root, transforms=src_tf)
     elif args.source_dataset == "freiburg_rgb":
         source = Freiburg(args.freiburg_root, "train", "RGB", transforms=src_tf,
-                          with_label=True, grayscale=args.grayscale)
+                          with_label=True, grayscale=args.grayscale,
+                          native_decode=getattr(args, "native_decode", False))
     elif args.source_dataset == "kitti":
         source = Kitti(args.kitti_root, src_tf, grayscale=args.grayscale)
     else:
@@ -57,7 +58,8 @@ def build_gan_datasets(args):
         target = FlirTrain(args.flir_root, tgt_tf)
     elif args.target_dataset == "freiburg_ir":
         target = Freiburg(args.freiburg_root, "train", "IR", transforms=tgt_tf,
-                          with_label=False)
+                          with_label=False,
+                          native_decode=getattr(args, "native_decode", False))
     else:
         raise ValueError("target dataset does not exist.")
     return source, target

@@ -35,6 +35,10 @@ def _add_roots(parser: argparse.ArgumentParser):
     parser.add_argument('--gan_model_root_path', type=str, default='./checkpoints')
     parser.add_argument('--bf16', type=str2bool, default=False,
                         help='bfloat16 compute dtype (TPU fast path).')
+    parser.add_argument('--native_decode', type=str2bool, default=False,
+                        help='batch-decode Freiburg frames with the native '
+                             'C++ thread-pool decoder (bilinear resize; the '
+                             'PIL path stays the BICUBIC parity default).')
     parser.add_argument('--seed', type=int, default=0)
 
 

@@ -68,7 +68,8 @@ class Freiburg:
                  path_soft: Optional[str] = None, path_lp: Optional[str] = None,
                  threshold: float = 0.0, ignore_index: int = 12,
                  proto_rectify: bool = True,
-                 hard_keep_classes: Sequence[int] = (5, 11)):
+                 hard_keep_classes: Sequence[int] = (5, 11),
+                 native_decode: bool = False):
         assert split in ("train", "test")
         data_file = os.path.join(root, "image_list", f"{split}_{domain}_data.txt")
         label_file = os.path.join(root, "image_list", f"{split}_{domain}_label.txt")
@@ -92,6 +93,7 @@ class Freiburg:
         self.ignore_index = ignore_index
         self.proto_rectify = proto_rectify
         self.hard_keep_classes = tuple(hard_keep_classes)
+        self.native_decode = native_decode
 
     def __len__(self) -> int:
         return len(self.data_list)
@@ -106,13 +108,39 @@ class Freiburg:
             return Image.open(translated)
         raise ValueError("Not a valid domain.")
 
-    def get(self, index: int, rng: np.random.Generator) -> dict:
+    def get_batch(self, indices: Sequence[int],
+                  rngs: Sequence[np.random.Generator]):
+        """Batch fast path: ONE native C++ call decodes the whole batch in a
+        thread pool with the GIL released (fused 16-bit decode + resize +
+        column crop + IR window, native/tss_io.cpp); the per-sample transform
+        chain then runs on the decoded frames. Returns None when this mode has
+        no native path (the loader falls back to per-sample ``get``). Note the
+        native resize is bilinear, the PIL path BICUBIC — statistically, not
+        bitwise, equivalent; the PIL path remains the parity default."""
+        from . import native_loader as nl
+
+        plain = not (self.segmentation_mode or self.self_train or self.grayscale)
+        if not (self.native_decode and plain and nl.available()):
+            return None
+        paths = [self.data_list[i] for i in indices]
+        if self.domain == "IR":
+            arrs = nl.decode_ir_batch(paths)
+            images = [Image.fromarray(a[..., 0]) for a in arrs]   # 'F' mode
+        else:
+            arrs = nl.decode_rgb_batch(paths)
+            images = [Image.fromarray(a) for a in arrs]
+        return [self.get(i, rng, image=img)
+                for i, rng, img in zip(indices, rngs, images)]
+
+    def get(self, index: int, rng: np.random.Generator,
+            image: Optional[Image.Image] = None) -> dict:
         image_name = self.data_list[index]
         label_name = self.label_list[index]
         only_img_name = os.path.basename(image_name)
         out = {"img_path": only_img_name}
 
-        image = self._load_image(image_name)
+        if image is None:
+            image = self._load_image(image_name)
 
         if self.translation_mode:
             # offline translator: destination path swaps split -> translation

@@ -94,6 +94,25 @@ class DataLoader:
                         "failed to load sample %d (attempt %d); substituting",
                         use, attempt + 1, exc_info=True)
 
+        def fetch_batch(batch_idx):
+            """Whole-batch fast path (e.g. the native C++ batch decoder);
+            None or an error falls back to the per-sample path, which carries
+            the corrupt-image substitution logic."""
+            try:
+                rngs = [host_rng(self.seed, epoch, i) for i in batch_idx]
+                samples = self.dataset.get_batch(batch_idx, rngs)
+            except Exception:
+                logging.getLogger(__name__).warning(
+                    "get_batch failed; falling back to per-sample loads",
+                    exc_info=True)
+                samples = None
+            return samples if samples is not None else [fetch(i) for i in batch_idx]
+
+        # opt-in only: the fallback inside fetch_batch loads per-sample
+        # serially, so don't route through it unless the dataset asked for
+        # batch decoding (keeps full thread-pool parallelism for PIL loads)
+        use_batch = (hasattr(self.dataset, "get_batch")
+                     and getattr(self.dataset, "native_decode", False))
         with cf.ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             pending = []
             batch_iter = self._batches()
@@ -103,14 +122,18 @@ class DataLoader:
                     batch_idx = next(batch_iter)
                 except StopIteration:
                     return False
-                pending.append([pool.submit(fetch, i) for i in batch_idx])
+                if use_batch:
+                    pending.append(pool.submit(fetch_batch, batch_idx))
+                else:
+                    pending.append([pool.submit(fetch, i) for i in batch_idx])
                 return True
 
             for _ in range(self.prefetch + 1):
                 if not submit_next():
                     break
             while pending:
-                futures = pending.pop(0)
-                samples = [f.result() for f in futures]
+                item = pending.pop(0)
+                samples = (item.result() if isinstance(item, cf.Future)
+                           else [f.result() for f in item])
                 submit_next()
                 yield self.collate(samples)
