@@ -113,3 +113,50 @@ def test_loader_native_batch_path(tmp_path):
     assert Freiburg(root, "train", "IR", transforms=tf, native_decode=True,
                     segmentation_mode=True,
                     ).get_batch([0], [np.random.default_rng(0)]) is None
+
+
+def test_encode_png_roundtrip_exact(tmp_path):
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 255, (3, 24, 31, 3)).astype(np.uint8)
+    paths = [str(tmp_path / f"e_{i}.png") for i in range(3)]
+    nl.encode_batch(paths, imgs)
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(np.asarray(Image.open(p)), imgs[i])
+    # grayscale (N, H, W) path
+    gray = rng.integers(0, 255, (2, 16, 20)).astype(np.uint8)
+    gpaths = [str(tmp_path / f"g_{i}.png") for i in range(2)]
+    nl.encode_batch(gpaths, gray)
+    for i, p in enumerate(gpaths):
+        got = np.asarray(Image.open(p))
+        assert Image.open(p).mode == "L"
+        np.testing.assert_array_equal(got, gray[i])
+
+
+def test_encode_bicubic_resize_matches_pil(tmp_path):
+    """The C++ convolution resampler reproduces PIL BICUBIC (float weights vs
+    Pillow's int16 fixed point: allow +-2). Covers both up- and downscale
+    (the antialias filter-widening path)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)
+    for wh in [(700, 320), (48, 20)]:
+        p = str(tmp_path / f"r_{wh[0]}.png")
+        nl.encode_batch([p], img[None], resize_wh=wh)
+        want = np.asarray(Image.fromarray(img).resize(wh, Image.BICUBIC))
+        got = np.asarray(Image.open(p))
+        assert got.shape == want.shape
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+
+
+def test_encode_jpeg_close_to_pil_pipeline(tmp_path):
+    """JPEG is lossy; the native encode of the resized image must decode close
+    to what the PIL resize+save pipeline (translator.py parity path) yields."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 255, (32, 64)).astype(np.uint8)  # 1-ch thermal-like
+    p_nat = str(tmp_path / "n.jpg")
+    nl.encode_batch([p_nat], img[None], resize_wh=(128, 64))
+    p_pil = str(tmp_path / "p.jpg")
+    Image.fromarray(img).resize((128, 64), Image.BICUBIC).save(p_pil)
+    got = np.asarray(Image.open(p_nat)).astype(np.float64)
+    want = np.asarray(Image.open(p_pil)).astype(np.float64)
+    assert got.shape == want.shape
+    assert np.abs(got - want).mean() < 8.0

@@ -39,6 +39,10 @@ def _add_roots(parser: argparse.ArgumentParser):
                         help='batch-decode Freiburg frames with the native '
                              'C++ thread-pool decoder (bilinear resize; the '
                              'PIL path stays the BICUBIC parity default).')
+    parser.add_argument('--native_encode', type=str2bool, default=False,
+                        help='batch-encode translator/pseudo-label output '
+                             'with the native C++ thread-pool encoder '
+                             '(PIL-equivalent BICUBIC resize + libjpeg/libpng).')
     parser.add_argument('--seed', type=int, default=0)
 
 

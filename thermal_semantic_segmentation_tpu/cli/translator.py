@@ -56,23 +56,36 @@ def translate(args):
     def run(variables, image):
         return model.apply(variables, image, train=False, mutable=False)
 
+    use_native = False
+    if getattr(args, "native_encode", False):
+        from ..data import native_loader as nl
+        use_native = nl.available()
+
     denorm = np.asarray(args.denormalize, np.float32)
+    save_wh = (args.save_image_size[1], args.save_image_size[0])
     for batch in loader:
         # datasets in translation mode return the destination path per image
         paths = batch.get("img_path")
         image = jnp.asarray(batch["image"])
         fake = np.asarray(run(variables, image))
         fake = np.clip((fake * denorm + denorm) * 255.0, 0, 255).astype(np.uint8)
+        out_paths = []
         for k in range(fake.shape[0]):
             out_path = paths[k]
             if args.translation_name_suffix:
                 base, ext = os.path.splitext(out_path)
                 out_path = f"{base}_{args.translation_name_suffix}{ext}"
             os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            out_paths.append(out_path)
+        if use_native:
+            # one C++ call: PIL-equivalent BICUBIC resize + encode, threaded
+            from ..data import native_loader as nl
+            nl.encode_batch(out_paths, fake, resize_wh=save_wh)
+            continue
+        for k, out_path in enumerate(out_paths):
             arr = fake[k].squeeze(-1) if fake.shape[-1] == 1 else fake[k]
             img = Image.fromarray(arr)
-            img = img.resize((args.save_image_size[1], args.save_image_size[0]),
-                             Image.BICUBIC)
+            img = img.resize(save_wh, Image.BICUBIC)
             img.save(out_path)
     print("translation complete.")
 

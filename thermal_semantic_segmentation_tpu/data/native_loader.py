@@ -48,8 +48,11 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB) and not _build():
-        return None
+    stale = (os.path.exists(_LIB) and os.path.exists(_SRC)
+             and os.path.getmtime(_SRC) > os.path.getmtime(_LIB))
+    if (not os.path.exists(_LIB) or stale) and not _build():
+        if not os.path.exists(_LIB):
+            return None
     try:
         lib = ctypes.CDLL(_LIB)
     except OSError:
@@ -68,6 +71,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tss_decode_raw.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16), ctypes.c_long,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.tss_encode_batch.restype = ctypes.c_int
+    lib.tss_encode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -116,6 +124,32 @@ def decode_rgb_batch(paths: Sequence[str], *, resize_wh=(960, 320),
     if ok != n:
         raise IOError(f"native decoder failed on {n - ok}/{n} images")
     return out
+
+
+def encode_batch(paths: Sequence[str], images: np.ndarray, *,
+                 resize_wh: Optional[tuple] = None, quality: int = 75,
+                 n_threads: int = 8) -> None:
+    """Write ``images`` (uint8, (N, H, W, C) or (N, H, W)) to ``paths``.
+
+    One C++ call: optional PIL-BICUBIC-equivalent resize to (w, h), then
+    JPEG (.jpg/.jpeg, libjpeg at ``quality`` — PIL's default 75) or PNG per
+    path suffix, fanned over a thread pool. The translator's per-image
+    ``PIL resize + save`` loop (reference translator.py is truncated there;
+    cli/translator.py completes it) as a batch operation.
+    """
+    lib = _load()
+    assert lib is not None, "native encoder unavailable"
+    if images.ndim == 3:
+        images = images[..., None]
+    images = np.ascontiguousarray(images, np.uint8)
+    n, h, w, c = images.shape
+    assert n == len(paths) and c in (1, 3), (images.shape, len(paths))
+    out_w, out_h = resize_wh if resize_wh is not None else (0, 0)
+    ok = lib.tss_encode_batch(
+        _paths_array(paths), images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h, w, c, out_w, out_h, quality, n_threads)
+    if ok != n:
+        raise IOError(f"native encoder failed on {n - ok}/{n} images")
 
 
 def decode_raw(path: str, max_pixels: int = 64 << 20) -> np.ndarray:

@@ -10,6 +10,8 @@
 //   tss_decode_ir_batch : 16-bit IR PNG -> float32 (out_h, crop_w) in [0,1]
 //   tss_decode_rgb_batch: 8-bit RGB/gray image -> uint8 (out_h, crop_w, 3)
 //   tss_decode_raw      : single image -> native-size buffer (parity testing)
+//   tss_encode_batch    : uint8 batch -> PIL-style BICUBIC resize + JPEG/PNG
+//                         files (the translator's output path, translator.py)
 //
 // Build: g++ -O3 -shared -fPIC tss_io.cpp -lpng -ljpeg -lz -o libtss_io.so
 
@@ -189,6 +191,151 @@ void resize_bilinear_u16(const Image& src, int out_w, int out_h,
   }
 }
 
+// ---- Encode path -----------------------------------------------------------
+
+// PIL-convolution resampling (Pillow Resample.c): cubic kernel a=-0.5 with
+// filter-scale widening on downscale (antialias). Float weights instead of
+// Pillow's int16 fixed point, so outputs match PIL BICUBIC within ~1 LSB —
+// the bit-parity save path stays PIL (translator.py keeps it by default).
+double bicubic_kernel(double x) {
+  constexpr double a = -0.5;
+  x = std::abs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+struct ResampleCoeffs {
+  std::vector<int> bounds;       // (xmin, size) per output pixel
+  std::vector<double> weights;   // ksize per output pixel
+  int ksize = 0;
+};
+
+ResampleCoeffs precompute_coeffs(int in_size, int out_size) {
+  constexpr double support = 2.0;  // bicubic
+  ResampleCoeffs rc;
+  double scale = (double)in_size / out_size;
+  double filterscale = std::max(scale, 1.0);
+  double supp = support * filterscale;
+  rc.ksize = (int)std::ceil(supp) * 2 + 1;
+  rc.bounds.resize((size_t)out_size * 2);
+  rc.weights.assign((size_t)out_size * rc.ksize, 0.0);
+  for (int xx = 0; xx < out_size; ++xx) {
+    double center = (xx + 0.5) * scale;
+    int xmin = (int)(center - supp + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = (int)(center + supp + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double* k = &rc.weights[(size_t)xx * rc.ksize];
+    double ww = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      double w = bicubic_kernel((x + xmin - center + 0.5) / filterscale);
+      k[x] = w;
+      ww += w;
+    }
+    if (ww != 0.0)
+      for (int x = 0; x < xmax; ++x) k[x] /= ww;
+    rc.bounds[(size_t)xx * 2] = xmin;
+    rc.bounds[(size_t)xx * 2 + 1] = xmax;
+  }
+  return rc;
+}
+
+uint8_t clip8(double v) {
+  return (uint8_t)std::min(std::max(v + 0.5, 0.0), 255.0);
+}
+
+// uint8 HWC -> uint8 out_h x out_w x C, PIL-BICUBIC-equivalent (two passes,
+// horizontal first like Pillow; the intermediate is CLAMPED to uint8 exactly
+// as Pillow's 8bpc pipeline does — bicubic's negative lobes overshoot, and
+// skipping the clamp diverges from PIL by up to ~24 LSB).
+void resize_bicubic_u8(const uint8_t* src, int h, int w, int c, int out_w,
+                       int out_h, std::vector<uint8_t>& out) {
+  ResampleCoeffs rh = precompute_coeffs(w, out_w);
+  std::vector<uint8_t> tmp((size_t)h * out_w * c);
+  for (int y = 0; y < h; ++y)
+    for (int xx = 0; xx < out_w; ++xx) {
+      int xmin = rh.bounds[(size_t)xx * 2], xmax = rh.bounds[(size_t)xx * 2 + 1];
+      const double* k = &rh.weights[(size_t)xx * rh.ksize];
+      for (int ch = 0; ch < c; ++ch) {
+        double acc = 0.0;
+        for (int x = 0; x < xmax; ++x)
+          acc += src[((size_t)y * w + xmin + x) * c + ch] * k[x];
+        tmp[((size_t)y * out_w + xx) * c + ch] = clip8(acc);
+      }
+    }
+  ResampleCoeffs rv = precompute_coeffs(h, out_h);
+  out.resize((size_t)out_h * out_w * c);
+  for (int yy = 0; yy < out_h; ++yy) {
+    int ymin = rv.bounds[(size_t)yy * 2], ymax = rv.bounds[(size_t)yy * 2 + 1];
+    const double* k = &rv.weights[(size_t)yy * rv.ksize];
+    for (int xx = 0; xx < out_w; ++xx)
+      for (int ch = 0; ch < c; ++ch) {
+        double acc = 0.0;
+        for (int y = 0; y < ymax; ++y)
+          acc += (double)tmp[((size_t)(ymin + y) * out_w + xx) * c + ch] * k[y];
+        out[((size_t)yy * out_w + xx) * c + ch] = clip8(acc);
+      }
+  }
+}
+
+bool encode_jpeg(const char* path, const uint8_t* pixels, int w, int h, int c,
+                 int quality) {
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return false;
+  jpeg_compress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    fclose(fp);
+    return false;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, fp);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = c;
+  cinfo.in_color_space = c == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(pixels + (size_t)cinfo.next_scanline * w * c);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  fclose(fp);
+  return true;
+}
+
+bool encode_png(const char* path, const uint8_t* pixels, int w, int h, int c) {
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return false;
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return false;
+  }
+  png_init_io(png, fp);
+  png_set_IHDR(png, info, w, h, 8,
+               c == 1 ? PNG_COLOR_TYPE_GRAY : PNG_COLOR_TYPE_RGB,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  for (int y = 0; y < h; ++y)
+    png_write_row(png, const_cast<uint8_t*>(pixels + (size_t)y * w * c));
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return true;
+}
+
 void parallel_for(int n, int n_threads, const std::function<void(int)>& fn) {
   n_threads = std::max(1, std::min(n_threads, n));
   std::atomic<int> next(0);
@@ -276,6 +423,34 @@ int tss_decode_raw(const char* path, uint16_t* out, long cap, int* width, int* h
   *width = img.width;
   *height = img.height;
   return img.channels;
+}
+
+// uint8 batch [n, h, w, c] -> per-image optional PIL-BICUBIC-equivalent
+// resize to (out_w, out_h), then JPEG (.jpg/.jpeg; libjpeg, `quality`) or PNG
+// encode by path suffix. The translator's output stage (translator.py:66-76:
+// PIL resize + save per image) as ONE ctypes call over a thread pool.
+// out_w/out_h == 0 skips the resize. Returns the number written.
+int tss_encode_batch(const char** paths, const uint8_t* imgs, int n, int h,
+                     int w, int c, int out_w, int out_h, int quality,
+                     int n_threads) {
+  std::atomic<int> ok_count(0);
+  parallel_for(n, n_threads, [&](int i) {
+    const uint8_t* src = imgs + (size_t)i * h * w * c;
+    std::vector<uint8_t> resized;
+    int ww = w, hh = h;
+    if (out_w > 0 && out_h > 0 && (out_w != w || out_h != h)) {
+      resize_bicubic_u8(src, h, w, c, out_w, out_h, resized);
+      src = resized.data();
+      ww = out_w;
+      hh = out_h;
+    }
+    std::string p(paths[i]);
+    bool ok = (has_suffix(p, ".jpg") || has_suffix(p, ".jpeg"))
+                  ? encode_jpeg(paths[i], src, ww, hh, c, quality)
+                  : encode_png(paths[i], src, ww, hh, c);
+    if (ok) ok_count.fetch_add(1);
+  });
+  return ok_count.load();
 }
 
 }  // extern "C"
