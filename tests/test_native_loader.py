@@ -160,3 +160,58 @@ def test_encode_jpeg_close_to_pil_pipeline(tmp_path):
     want = np.asarray(Image.open(p_pil)).astype(np.float64)
     assert got.shape == want.shape
     assert np.abs(got - want).mean() < 8.0
+
+
+def test_encode_pal8_matches_colorize_prediction(tmp_path):
+    from thermal_semantic_segmentation_tpu.data.palette import (
+        colorize_prediction, freiburg_palette)
+
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 13, (2, 20, 30)).astype(np.uint8)
+    paths = [str(tmp_path / f"c_{i}.png") for i in range(2)]
+    pal = np.asarray(freiburg_palette(), np.uint8).reshape(-1, 3)
+    nl.encode_pal8_batch(paths, idx, pal)
+    for i, p in enumerate(paths):
+        got = Image.open(p)
+        assert got.mode == "P"
+        want = colorize_prediction(idx[i])
+        np.testing.assert_array_equal(np.asarray(got.convert("RGB")),
+                                      np.asarray(want.convert("RGB")))
+
+
+def test_pseudo_native_write_matches_pil(tmp_path):
+    """generate_pseudo_labels(native_encode=True) writes the same artifacts
+    (decoded content) as the PIL path."""
+    import jax
+    from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+    from thermal_semantic_segmentation_tpu.train.pseudo import generate_pseudo_labels
+
+    model, variables = create_deeplab(jax.random.key(0), num_classes=13,
+                                      num_channels=1, layers=(1, 1, 1, 1),
+                                      image_size=(32, 64))
+    rng = np.random.default_rng(8)
+
+    class FakeLoader(list):
+        pass
+
+    batches = [{"image": rng.uniform(0, 1, (2, 32, 64, 1)).astype(np.float32),
+                "img_path": [f"im_{i}_{k}.png" for k in range(2)]}
+               for i in range(2)]
+    for native, sub in [(False, "pil"), (True, "nat")]:
+        generate_pseudo_labels(model, variables, FakeLoader(batches),
+                               save_path=str(tmp_path / sub),
+                               native_encode=native)
+    for i in range(2):
+        for k in range(2):
+            name = f"im_{i}_{k}"
+            a = np.asarray(Image.open(tmp_path / "pil" / f"{name}.png"))
+            b = np.asarray(Image.open(tmp_path / "nat" / f"{name}.png"))
+            np.testing.assert_array_equal(a, b)
+            ca = Image.open(tmp_path / "pil" / f"{name}_color.png")
+            cb = Image.open(tmp_path / "nat" / f"{name}_color.png")
+            assert ca.mode == cb.mode == "P"
+            np.testing.assert_array_equal(np.asarray(ca.convert("RGB")),
+                                          np.asarray(cb.convert("RGB")))
+            np.testing.assert_array_equal(
+                np.load(tmp_path / "pil" / f"{name}_conf.npy"),
+                np.load(tmp_path / "nat" / f"{name}_conf.npy"))

@@ -32,7 +32,9 @@ def main(argv=None):
                              args.checkpoint_name.replace(".pth", ""))
     n = generate_pseudo_labels(model, variables, loader, save_path=save_path,
                                soft=args.soft, flip=args.flip,
-                               max_steps=args.max_steps)
+                               max_steps=args.max_steps,
+                               native_encode=getattr(args, "native_encode",
+                                                     False))
     print(f"wrote pseudo labels for {n} images to {save_path}")
 
 

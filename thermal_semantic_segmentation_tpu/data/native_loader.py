@@ -76,6 +76,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.tss_encode_pal8_batch.restype = ctypes.c_int
+    lib.tss_encode_pal8_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -148,6 +153,25 @@ def encode_batch(paths: Sequence[str], images: np.ndarray, *,
     ok = lib.tss_encode_batch(
         _paths_array(paths), images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n, h, w, c, out_w, out_h, quality, n_threads)
+    if ok != n:
+        raise IOError(f"native encoder failed on {n - ok}/{n} images")
+
+
+def encode_pal8_batch(paths: Sequence[str], indices: np.ndarray,
+                      palette: np.ndarray, *, n_threads: int = 8) -> None:
+    """Write index maps (uint8, (N, H, W)) as P-mode PNGs with ``palette``
+    ((n_colors, 3) uint8 RGB) — the colored pseudo-label dump format."""
+    lib = _load()
+    assert lib is not None, "native encoder unavailable"
+    indices = np.ascontiguousarray(indices, np.uint8)
+    palette = np.ascontiguousarray(palette, np.uint8)
+    n, h, w = indices.shape
+    assert n == len(paths) and palette.ndim == 2 and palette.shape[1] == 3
+    ok = lib.tss_encode_pal8_batch(
+        _paths_array(paths),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, h, w,
+        palette.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        palette.shape[0], n_threads)
     if ok != n:
         raise IOError(f"native encoder failed on {n - ok}/{n} images")
 

@@ -336,6 +336,39 @@ bool encode_png(const char* path, const uint8_t* pixels, int w, int h, int c) {
   return true;
 }
 
+// P-mode (indexed-color) PNG with an RGB palette — the colored pseudo-label
+// dump format (reference utils/misc.py:330-354 'P' mode + putpalette).
+bool encode_png_pal8(const char* path, const uint8_t* pixels, int w, int h,
+                     const uint8_t* palette_rgb, int n_colors) {
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return false;
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return false;
+  }
+  png_init_io(png, fp);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_PALETTE,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  std::vector<png_color> pal(n_colors);
+  for (int i = 0; i < n_colors; ++i) {
+    pal[i].red = palette_rgb[i * 3];
+    pal[i].green = palette_rgb[i * 3 + 1];
+    pal[i].blue = palette_rgb[i * 3 + 2];
+  }
+  png_set_PLTE(png, info, pal.data(), n_colors);
+  png_write_info(png, info);
+  for (int y = 0; y < h; ++y)
+    png_write_row(png, const_cast<uint8_t*>(pixels + (size_t)y * w));
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return true;
+}
+
 void parallel_for(int n, int n_threads, const std::function<void(int)>& fn) {
   n_threads = std::max(1, std::min(n_threads, n));
   std::atomic<int> next(0);
@@ -449,6 +482,21 @@ int tss_encode_batch(const char** paths, const uint8_t* imgs, int n, int h,
                   ? encode_jpeg(paths[i], src, ww, hh, c, quality)
                   : encode_png(paths[i], src, ww, hh, c);
     if (ok) ok_count.fetch_add(1);
+  });
+  return ok_count.load();
+}
+
+// uint8 index batch [n, h, w] -> P-mode PNGs with the given RGB palette
+// (n_colors x 3). The colored pseudo-label dump (generate_pseudo_label.py:90
+// via freiburg_prediction_visualize) without a PIL round-trip per image.
+int tss_encode_pal8_batch(const char** paths, const uint8_t* imgs, int n,
+                          int h, int w, const uint8_t* palette_rgb,
+                          int n_colors, int n_threads) {
+  std::atomic<int> ok_count(0);
+  parallel_for(n, n_threads, [&](int i) {
+    if (encode_png_pal8(paths[i], imgs + (size_t)i * h * w, w, h, palette_rgb,
+                        n_colors))
+      ok_count.fetch_add(1);
   });
   return ok_count.load();
 }

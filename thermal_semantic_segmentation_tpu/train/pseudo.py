@@ -47,16 +47,22 @@ def make_pseudo_fns(model):
 
 def generate_pseudo_labels(model, variables, loader, *, save_path: str,
                            soft: bool = False, flip: bool = False,
-                           max_steps: int = 0, writer_threads: int = 8):
+                           max_steps: int = 0, writer_threads: int = 8,
+                           native_encode: bool = False):
     """Run inference over the loader and write pseudo-label artifacts.
 
     soft: per-image full softmax .npy (channel-first (C, h, w) to match the
           reference file format consumed by the self-train dataset).
     hard: argmax PNG + palette-colored PNG + float16 confidence .npy.
+    native_encode: write the two PNGs through the C++ batch encoder (one call
+          per batch, libpng in a thread pool) instead of per-image PIL.
     """
     os.makedirs(save_path, exist_ok=True)
     soft_fn, hard_fn, hard_flip_fn = make_pseudo_fns(model)
     palette = freiburg_palette()
+    if native_encode:
+        from ..data import native_loader as nl
+        native_encode = nl.available()
 
     def write_soft(name: str, probs: np.ndarray):
         np.save(os.path.join(save_path, name.replace(".png", ".npy")),
@@ -88,9 +94,27 @@ def generate_pseudo_labels(model, variables, loader, *, save_path: str,
                 fn = hard_flip_fn if flip else hard_fn
                 conf, pseudo = fn(variables, images)
                 conf, pseudo = np.asarray(conf), np.asarray(pseudo)
-                for k in range(images.shape[0]):
-                    futures.append(pool.submit(write_hard, os.path.basename(names[k]),
-                                               pseudo[k], conf[k]))
+                if native_encode:
+                    from ..data import native_loader as nl
+                    base = [os.path.join(save_path, os.path.basename(n))
+                            for n in names]
+                    pal = np.asarray(palette, np.uint8).reshape(-1, 3)
+                    futures.append(pool.submit(
+                        nl.encode_batch, base, pseudo.astype(np.uint8)))
+                    futures.append(pool.submit(
+                        nl.encode_pal8_batch,
+                        [b[:-4] + "_color.png" for b in base],
+                        pseudo.astype(np.uint8), pal))
+                    for k in range(images.shape[0]):
+                        futures.append(pool.submit(
+                            np.save,
+                            base[k].replace(".png", "_conf.npy"),
+                            conf[k].astype(np.float16)))
+                else:
+                    for k in range(images.shape[0]):
+                        futures.append(pool.submit(
+                            write_hard, os.path.basename(names[k]),
+                            pseudo[k], conf[k]))
             n_written += images.shape[0]
             if i % 100 == 0:
                 print(f"pseudo label generation: [{i}/{len(loader)}]")
