@@ -159,3 +159,50 @@ def test_self_train_step_end_to_end():
     # second step reuses the compiled fn
     state, lp2, ls2 = step(state, **batch)
     assert np.isfinite(float(lp2))
+
+
+@pytest.mark.slow
+def test_fused_student_matches_sequential():
+    """The vmapped dual-domain student pass (fused_student=True, the default)
+    is semantically identical to the reference's two sequential passes:
+    same losses, same updated params/batch-stats (per-domain BN statistics,
+    same per-domain dropout keys, closed-form sequential running-stats fold).
+    """
+    model, variables = create_deeplab(jax.random.key(0), num_classes=13,
+                                      num_channels=1, layers=(1, 1, 1, 1),
+                                      image_size=(64, 128))
+    rng = np.random.default_rng(1)
+    batch = dict(
+        source_image=jnp.asarray(rng.uniform(0, 1, (2, 64, 128, 1)).astype(np.float32)),
+        source_label=jnp.asarray(rng.integers(0, 13, (2, 64, 128))),
+        target_image=jnp.asarray(rng.uniform(0, 1, (2, 64, 128, 1)).astype(np.float32)),
+        target_image_full=jnp.asarray(rng.uniform(0, 1, (2, 80, 176, 1)).astype(np.float32)),
+        target_lp_soft=jnp.asarray(rng.uniform(0, 1, (2, 13, 64, 128)).astype(np.float32)),
+        target_lp_hard=jnp.asarray(rng.integers(0, 13, (2, 64, 128))),
+        weak_params={"resized_hw": jnp.asarray([[96, 160], [120, 200]]),
+                     "crop": jnp.asarray([[8, 72, 16, 144], [4, 68, 8, 136]]),
+                     "flip": jnp.asarray([True, False])},
+    )
+    results = {}
+    for fused in (False, True):
+        state = create_self_train_state(
+            model, jax.tree.map(jnp.array, variables),  # donation-safe copy
+            prototypes=np.random.default_rng(2).standard_normal((13, 256)) * 0.1,
+            learning_rate=1e-4)
+        step = make_self_train_step(model, num_classes=13, ignore_index=12,
+                                    base_lr=1e-4, train_thred=0.1,
+                                    label_hw=(64, 128), fused_student=fused)
+        state, lp, ls = step(state, **{k: (jax.tree.map(jnp.array, v)
+                                           if isinstance(v, dict) else jnp.array(v))
+                                       for k, v in batch.items()})
+        results[fused] = (float(lp), float(ls),
+                          jax.tree.map(np.asarray, state.params),
+                          jax.tree.map(np.asarray, state.batch_stats))
+    np.testing.assert_allclose(results[True][0], results[False][0], rtol=2e-5)
+    np.testing.assert_allclose(results[True][1], results[False][1], rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(results[True][3]),
+                    jax.tree.leaves(results[False][3])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(results[True][2]),
+                    jax.tree.leaves(results[False][2])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-6)

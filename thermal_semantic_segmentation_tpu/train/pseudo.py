@@ -36,6 +36,10 @@ def make_pseudo_fns(model):
 
     @jax.jit
     def hard_flip_fn(variables, images):
+        # NOTE: concatenating the flipped batch into one 2B pass was measured
+        # SLOWER (281 vs 294 img/s at B=8) — fwd-only at batch 8 is not
+        # latency-bound, unlike the batch-4 train steps (see train/self_train
+        # fused_student). Two B-batch passes stay.
         h, w = images.shape[1:3]
         probs = resize_bilinear(soft_fn(variables, images), h, w)
         probs_f = resize_bilinear(soft_fn(variables, images[:, :, ::-1]), h, w)

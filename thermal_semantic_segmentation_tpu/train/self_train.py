@@ -28,6 +28,7 @@ import optax
 from flax import struct
 
 from ..losses import cross_entropy, reverse_cross_entropy
+from ..nn.resnet import BN_MOMENTUM
 from ..ops.class_means import fold_prototypes, masked_class_means
 from ..ops.resize import resize_bilinear, resize_nearest, sample_bilinear_at
 
@@ -117,7 +118,8 @@ def make_self_train_step(model, *, num_classes: int, ignore_index: int,
                          proto_momentum: float = 1e-4,
                          ema_decay: float = 0.999,
                          label_hw: Tuple[int, int] = (256, 512),
-                         dropout_seed: int = 0):
+                         dropout_seed: int = 0,
+                         fused_student: bool = True):
     """Build the jitted self-training step.
 
     step(state, source_image, source_label, target_image, target_image_full,
@@ -126,6 +128,17 @@ def make_self_train_step(model, *, num_classes: int, ignore_index: int,
 
     target_lp_soft: (B, C, th, tw) channel-first as saved/augmented, or None
     when proto_rectify=False. target_lp_hard: (B, th, tw) int.
+
+    fused_student=True (default) runs the student's source and target passes
+    as ONE vmapped forward over a leading domain axis: the convolutions see
+    batch 2B (a batch-B step is overhead-bound on TPU — measured 75 vs 162
+    img/s at B=4 vs 8) while BN statistics, dropout masks, and gradients stay
+    EXACTLY per-domain (vmap separates them; the same per-domain RNG keys are
+    used). The reference's sequential running-stats accumulation
+    (self_training.py:51-77: source pass updates, then target pass) is
+    reproduced in closed form: with flax's r' = m*r + (1-m)*stat and
+    mut_d = m*old + (1-m)*stat_d, two sequential updates equal
+    m*mut_src + mut_tgt - m*old.
     """
     scale = 4  # self_training.py:29 scale_rate
     oh, ow = label_hw[0] // scale, label_hw[1] // scale
@@ -171,19 +184,39 @@ def make_self_train_step(model, *, num_classes: int, ignore_index: int,
 
         # --- student losses ---
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            src_out, mut = state.apply_fn(
-                variables, source_image, train=True, mutable=["batch_stats"],
-                rngs={"dropout": rng})
-            src_logits = resize_bilinear(src_out["out"], *label_hw)
+            if fused_student:
+                def fwd(image, key):
+                    return state.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        image, train=True, mutable=["batch_stats"],
+                        rngs={"dropout": key})
+
+                keys = jnp.stack([rng, jax.random.fold_in(rng, 1)])
+                outs, muts = jax.vmap(fwd)(
+                    jnp.stack([source_image, target_image]), keys)
+                src_logits_lr, tgt_logits_lr = outs["out"][0], outs["out"][1]
+                # exact sequential fold of the two per-domain stat updates
+                m = BN_MOMENTUM
+                new_stats = jax.tree.map(
+                    lambda old, mut: m * mut[0] + mut[1] - m * old,
+                    state.batch_stats, muts["batch_stats"])
+            else:
+                variables = {"params": params,
+                             "batch_stats": state.batch_stats}
+                src_out, mut = state.apply_fn(
+                    variables, source_image, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": rng})
+                tgt_out, mut2 = state.apply_fn(
+                    {"params": params, "batch_stats": mut["batch_stats"]},
+                    target_image, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.fold_in(rng, 1)})
+                src_logits_lr, tgt_logits_lr = src_out["out"], tgt_out["out"]
+                new_stats = mut2["batch_stats"]
+
+            src_logits = resize_bilinear(src_logits_lr, *label_hw)
             loss_source = cross_entropy(src_logits, source_label,
                                         ignore_index=ignore_index)
-
-            tgt_out, mut2 = state.apply_fn(
-                {"params": params, "batch_stats": mut["batch_stats"]},
-                target_image, train=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(rng, 1)})
-            tgt_logits = resize_bilinear(tgt_out["out"], oh, ow)
+            tgt_logits = resize_bilinear(tgt_logits_lr, oh, ow)
             loss_pseudo = cross_entropy(tgt_logits, pseudo,
                                         ignore_index=ignore_index)
             if rce:
@@ -192,7 +225,7 @@ def make_self_train_step(model, *, num_classes: int, ignore_index: int,
                                                  ignore_index=ignore_index)
                 loss_pseudo = rce_alpha * loss_pseudo + rce_beta * rce_loss
             return loss_source + loss_pseudo, (loss_source, loss_pseudo,
-                                               mut2["batch_stats"])
+                                               new_stats)
 
         (_, (loss_source, loss_pseudo, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
