@@ -244,3 +244,48 @@ def test_fused_gan_step():
         assert np.isfinite(float(v)), (k, float(v))
     assert int(state.step) == 3
     assert int(pools["t"].count) == 6  # 3 steps x batch 2, below pool_size
+
+
+def test_fused_passes_match_sequential():
+    """fused_passes=True (vmapped 2B s2t / D real+fake passes) produces the
+    same losses, params, and running stats as the sequential reference-shaped
+    passes — per-slice BN under vmap == per-pass BN, and the running-stat
+    fold reproduces the reference accumulation order exactly."""
+    from thermal_semantic_segmentation_tpu.train.gan import make_fused_gan_step
+
+    key = jax.random.key(0)
+    g_s2t = unet_32(ngf=8, output_nc=1)
+    g_t2s = unet_32(ngf=8, output_nc=3)
+    d_t, d_s = patchgan(ndf=8), patchgan(ndf=8)
+    rng = np.random.default_rng(1)
+    real_s = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 3)).astype(np.float32))
+    real_t = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 1)).astype(np.float32))
+
+    results = {}
+    for fused in (False, True):
+        g_vars = {"s2t": init_gan_net(g_s2t, key, (1, 32, 64, 3)),
+                  "t2s": init_gan_net(g_t2s, key, (1, 32, 64, 1))}
+        d_vars = {"t": init_gan_net(d_t, key, (1, 32, 64, 1)),
+                  "s": init_gan_net(d_s, key, (1, 32, 64, 3))}
+        state = create_gan_state(g_vars=g_vars, d_vars=d_vars,
+                                 learning_rate=1e-4)
+        step, make_pools = make_fused_gan_step(
+            pool_size=8,
+            g_apply={"s2t": g_s2t.apply, "t2s": g_t2s.apply},
+            d_apply={"t": d_t.apply, "s": d_s.apply}, cycle=True,
+            fused_passes=fused)
+        pools = make_pools({"t": (32, 64, 1), "s": (32, 64, 3)}, seed=0)
+        for _ in range(2):
+            state, pools, metrics = step(state, pools, real_s, real_t)
+        results[fused] = (jax.tree.map(np.asarray, metrics),
+                          jax.tree.map(np.asarray, state.g_params),
+                          jax.tree.map(np.asarray, state.g_stats),
+                          jax.tree.map(np.asarray, state.d_stats))
+    for k in results[True][0]:
+        np.testing.assert_allclose(results[True][0][k], results[False][0][k],
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
+    for name, idx in [("g_params", 1), ("g_stats", 2), ("d_stats", 3)]:
+        for a, b in zip(jax.tree.leaves(results[True][idx]),
+                        jax.tree.leaves(results[False][idx])):
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6,
+                                       err_msg=name)

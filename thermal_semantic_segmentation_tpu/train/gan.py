@@ -37,7 +37,21 @@ from flax import struct
 
 from ..losses import GAN_LOSSES, l1_loss, semantic_consistency
 from ..nn.canny import canny_edges
+from ..nn.resnet import BN_MOMENTUM
 from ..ops.resize import upsample_logits
+
+
+def _fold_sequential_stats(old, mut_first, mut_second, m: float = BN_MOMENTUM):
+    """Closed form of two sequential flax running-stat updates.
+
+    Each pass computes mut_i = m*old + (1-m)*stat_i when run against the same
+    ``old`` stats; applying them in order gives m*(m*old + (1-m)*stat_1)
+    + (1-m)*stat_2 = m*mut_first + mut_second - m*old. Running stats never
+    feed train-mode normalization, so re-basing both passes on ``old`` and
+    folding is EXACTLY the reference's sequential threading.
+    """
+    return jax.tree.map(lambda o, a, b: m * a + b - m * o,
+                        old, mut_first, mut_second)
 
 
 class GanTrainState(struct.PyTreeNode):
@@ -98,12 +112,23 @@ def _make_gan_cores(*, g_apply: Dict[str, Callable], d_apply: Dict[str, Callable
                     canny_thermal_threshold: float = 1.0,
                     contour_detached: bool = False,
                     sem_apply: Optional[Dict[str, Callable]] = None,
-                    sem_ignore_classes: Tuple[int, ...] = ()):
+                    sem_ignore_classes: Tuple[int, ...] = (),
+                    fused_passes: bool = True):
     """Unjitted (g_core, d_core) update functions shared by the two-step and
     fused GAN trainers.
 
     g_apply: {'s2t': apply_fn, 't2s': apply_fn?}; d_apply: {'t': ..., 's': ...?}
     sem_apply: {'s': apply_fn, 't': apply_fn} frozen legacy seg nets (optional).
+
+    fused_passes=True (default) merges same-net same-shape passes into one
+    vmapped pass over a leading domain axis — batch-4 passes are
+    latency-bound on TPU (see train/self_train.py fused_student). In the
+    cycle trainer the two s2t forwards (real_s -> fake_t, fake_s -> rec_t)
+    become one 2B pass after reordering around the t2s(real_t) dependency;
+    in d_core each discriminator's real/fake passes merge. BN statistics,
+    gradients, and the reference's sequential running-stat accumulation order
+    (train.py:146-149 for G, :213-218 for D) are preserved exactly
+    (_fold_sequential_stats).
     """
     adv = GAN_LOSSES[gan_loss]
 
@@ -117,21 +142,55 @@ def _make_gan_cores(*, g_apply: Dict[str, Callable], d_apply: Dict[str, Callable
         def loss_fn(g_params):
             metrics = {}
             new_stats = {}
-            fake_t, new_stats["s2t"] = apply_net(
-                g_apply["s2t"], g_params["s2t"], state.g_stats["s2t"], real_s, True)
-            outs = {"fake_t": fake_t}
+            outs = {}
+            if cycle and fused_passes:
+                # reorder around the data dependency: t2s(real_t) first, then
+                # ONE vmapped 2B s2t pass over [real_s, fake_s], then
+                # t2s(fake_t). Per-slice BN stats under vmap = the reference's
+                # per-pass stats; running stats folded in reference pass order
+                # (s2t: real_s then fake_s; t2s: fake_t then real_t,
+                # train.py:146-149).
+                fake_s, mut_t2s_real_t = apply_net(
+                    g_apply["t2s"], g_params["t2s"], state.g_stats["t2s"],
+                    real_t, True)
+
+                def s2t_fwd(x):
+                    return g_apply["s2t"](
+                        {"params": g_params["s2t"],
+                         "batch_stats": state.g_stats["s2t"]},
+                        x, train=True, mutable=["batch_stats"])
+
+                outs2, muts2 = jax.vmap(s2t_fwd)(jnp.stack([real_s, fake_s]))
+                fake_t, rec_t = outs2[0], outs2[1]
+                new_stats["s2t"] = _fold_sequential_stats(
+                    state.g_stats["s2t"],
+                    jax.tree.map(lambda x: x[0], muts2["batch_stats"]),
+                    jax.tree.map(lambda x: x[1], muts2["batch_stats"]))
+                rec_s, mut_t2s_fake_t = apply_net(
+                    g_apply["t2s"], g_params["t2s"], state.g_stats["t2s"],
+                    fake_t, True)
+                new_stats["t2s"] = _fold_sequential_stats(
+                    state.g_stats["t2s"], mut_t2s_fake_t, mut_t2s_real_t)
+            else:
+                fake_t, new_stats["s2t"] = apply_net(
+                    g_apply["s2t"], g_params["s2t"], state.g_stats["s2t"],
+                    real_s, True)
+                if cycle:
+                    rec_s, stats_t2s = apply_net(
+                        g_apply["t2s"], g_params["t2s"], state.g_stats["t2s"],
+                        fake_t, True)
+                    fake_s, stats_t2s = apply_net(
+                        g_apply["t2s"], g_params["t2s"], stats_t2s, real_t, True)
+                    rec_t, new_stats["s2t"] = apply_net(
+                        g_apply["s2t"], g_params["s2t"], new_stats["s2t"],
+                        fake_s, True)
+                    new_stats["t2s"] = stats_t2s
+            outs["fake_t"] = fake_t
             loss_g_s2t, _ = adv_on_d("t", fake_t)
             metrics["g_s2t"] = loss_g_s2t
             loss = loss_g_s2t
 
             if cycle:
-                rec_s, stats_t2s = apply_net(
-                    g_apply["t2s"], g_params["t2s"], state.g_stats["t2s"], fake_t, True)
-                fake_s, stats_t2s = apply_net(
-                    g_apply["t2s"], g_params["t2s"], stats_t2s, real_t, True)
-                rec_t, new_stats["s2t"] = apply_net(
-                    g_apply["s2t"], g_params["s2t"], new_stats["s2t"], fake_s, True)
-                new_stats["t2s"] = stats_t2s
                 outs["fake_s"] = fake_s
                 loss_g_t2s, _ = adv_on_d("s", fake_s)
                 loss_cycle_s = l1_loss(rec_s, real_s) * cycle_weight
@@ -210,11 +269,29 @@ def _make_gan_cores(*, g_apply: Dict[str, Callable], d_apply: Dict[str, Callable
             new_stats = {}
             total = 0.0
             for which, real in reals.items():
-                out_real, stats = apply_net(
-                    d_apply[which], d_params[which], state.d_stats[which], real, True)
-                out_fake, stats = apply_net(
-                    d_apply[which], d_params[which], stats,
-                    jax.lax.stop_gradient(pooled_fakes[which]), True)
+                fake = jax.lax.stop_gradient(pooled_fakes[which])
+                if fused_passes:
+                    # one 2B pass per discriminator; per-slice BN stats under
+                    # vmap, folded in the reference order (real then fake,
+                    # train.py:213-218)
+                    def d_fwd(x, which=which):
+                        return d_apply[which](
+                            {"params": d_params[which],
+                             "batch_stats": state.d_stats[which]},
+                            x, train=True, mutable=["batch_stats"])
+
+                    outs, muts = jax.vmap(d_fwd)(jnp.stack([real, fake]))
+                    out_real, out_fake = outs[0], outs[1]
+                    stats = _fold_sequential_stats(
+                        state.d_stats[which],
+                        jax.tree.map(lambda x: x[0], muts["batch_stats"]),
+                        jax.tree.map(lambda x: x[1], muts["batch_stats"]))
+                else:
+                    out_real, stats = apply_net(
+                        d_apply[which], d_params[which], state.d_stats[which],
+                        real, True)
+                    out_fake, stats = apply_net(
+                        d_apply[which], d_params[which], stats, fake, True)
                 loss_d = 0.5 * (adv(out_real, True) + adv(out_fake, False))
                 metrics[f"d_{which}"] = loss_d
                 new_stats[which] = stats
