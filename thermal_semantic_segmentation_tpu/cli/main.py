@@ -21,6 +21,7 @@ from ..data import transforms as T
 from ..data.cityscapes import Cityscapes
 from ..data.freiburg import Freiburg
 from ..data.loader import DataLoader
+from ..parallel.mesh import host_shard
 from ..data.simple import FlirTrain, Kitti
 from ..models.factory import (deeplabv2_resnet101, deeplabv2_resnet101_thermal,
                               init_gan_net, patchgan, unet_256)
@@ -69,9 +70,10 @@ def gan_main(args):
     key = jax.random.key(args.seed)
     source, target = build_gan_datasets(args)
     src_loader = DataLoader(source, args.batch_size, shuffle=True,
-                            drop_last=True, seed=args.seed)
+                            drop_last=True, seed=args.seed, shard=host_shard())
     tgt_loader = DataLoader(target, args.batch_size, shuffle=True,
-                            drop_last=True, seed=args.seed + 1)
+                            drop_last=True, seed=args.seed + 1,
+                            shard=host_shard())
 
     s_nc, t_nc = args.s2t_input_nc, args.t2s_input_nc
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..core.schedule import ReduceLROnPlateau
 from ..data.loader import DataLoader, split_indices
 from ..eval.validate import seg_validate
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import host_shard, make_mesh, replicate, shard_batch
 from ..train.seg import build_seg_eval_step, create_seg_state, make_seg_train_step
 from ..utils.logging import get_logger
 from ..utils.meters import AverageMeter, ProgressMeter
@@ -47,7 +47,8 @@ def seg_main(args, logger):
 
     train_idx, val_idx = split_indices(len(source_dataset), 0.2, seed=42)
     train_loader = DataLoader(source_dataset, args.batch_size, shuffle=True,
-                              indices=train_idx, drop_last=True, seed=args.seed)
+                              indices=train_idx, drop_last=True, seed=args.seed,
+                              shard=host_shard())
     # NOTE: the reference validates through the train dataset's (augmenting)
     # transform (segmentation_train.py:143); with device_aug the crop lives in
     # the train step, so the val split gets the deterministic resize instead.

@@ -21,6 +21,7 @@ from ..core.schedule import ReduceLROnPlateau
 from ..data import transforms as T
 from ..data.freiburg import Freiburg, FreiburgTest
 from ..data.loader import DataLoader
+from ..parallel.mesh import host_shard
 from ..data.self_train_aug import SelfTrainAugment
 from ..eval.validate import seg_validate
 from ..models.deeplab import create_deeplab
@@ -48,9 +49,10 @@ def self_train_main(args, logger):
                                       transforms=val_transform(), with_label=True)
 
     src_loader = DataLoader(source_dataset, args.batch_size, shuffle=True,
-                            drop_last=True, seed=args.seed)
+                            drop_last=True, seed=args.seed, shard=host_shard())
     tgt_loader = DataLoader(target_dataset, args.batch_size, shuffle=True,
-                            drop_last=True, seed=args.seed + 1)
+                            drop_last=True, seed=args.seed + 1,
+                            shard=host_shard())
     val_loader = DataLoader(target_val_dataset, args.batch_size, shuffle=False,
                             drop_last=False, seed=args.seed + 2)
 

@@ -46,12 +46,22 @@ class DataLoader:
                  indices: Optional[Sequence[int]] = None, drop_last: bool = True,
                  seed: int = 0, num_threads: int = 8,
                  collate: Callable = default_collate, prefetch: int = 2,
-                 corrupt_retries: int = 4):
+                 corrupt_retries: int = 4,
+                 shard: Optional[tuple] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.indices = list(indices) if indices is not None else list(range(len(dataset)))
         self.drop_last = drop_last
+        # (shard_id, num_shards): multi-host data parallelism — each process
+        # iterates a disjoint strided slice of the (shuffled) epoch order,
+        # truncated so every host sees the SAME number of batches per epoch
+        # (hosts must stay in lockstep or the mesh collectives desync).
+        # The reference is single-process (no counterpart).
+        self.shard = tuple(shard) if shard else None
+        if self.shard is not None:
+            sid, n = self.shard
+            assert 0 <= sid < n, self.shard
         self.seed = seed
         self.num_threads = num_threads
         self.collate = collate
@@ -64,12 +74,18 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.indices)
+        if self.shard is not None:
+            n = n // self.shard[1]
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batches(self):
         order = list(self.indices)
         if self.shuffle:
             host_rng(self.seed, self.epoch).shuffle(order)
+        if self.shard is not None:
+            sid, nsh = self.shard
+            per_host = len(order) // nsh  # equalize: lockstep across hosts
+            order = order[sid::nsh][:per_host]
         bs = self.batch_size
         limit = len(order) - (len(order) % bs) if self.drop_last else len(order)
         for start in range(0, limit, bs):

@@ -73,6 +73,15 @@ def init_distributed(**kwargs) -> None:
     jax.distributed.initialize(**kwargs)
 
 
+def host_shard() -> Optional[tuple]:
+    """(process_index, process_count) for DataLoader(shard=...), or None when
+    single-process. Each host then loads a disjoint slice of every epoch —
+    the data side of multi-host 'data'-axis parallelism (the reference is
+    single-process; no counterpart)."""
+    n = jax.process_count()
+    return (jax.process_index(), n) if n > 1 else None
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dim; everything else replicated."""
     return NamedSharding(mesh, P(axis_name))
