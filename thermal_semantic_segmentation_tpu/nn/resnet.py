@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -83,7 +84,7 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
             dtype=self.dtype, name=name)
@@ -115,6 +116,13 @@ class ResNetBackbone(nn.Module):
     layers: Sequence[int] = (3, 4, 23, 3)
     num_channels: int = 3
     dtype: Any = jnp.float32
+    # Rematerialization of the bottleneck blocks in the backward pass:
+    # 'none' saves every autodiff residual; 'dots' saves only conv outputs
+    # (jax.checkpoint_policies.dots_saveable — BN/ReLU intermediates are
+    # recomputed on the VPU, trading cheap FLOPs for HBM activation traffic);
+    # 'full' saves only block boundaries (recomputes convs too — for memory-
+    # constrained settings, not speed).
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -130,19 +138,30 @@ class ResNetBackbone(nn.Module):
             (256, 1, 2),
             (512, 1, 4),
         ]
+        if self.remat == "none":
+            block_cls = Bottleneck
+        elif self.remat == "dots":
+            block_cls = nn.remat(
+                Bottleneck, static_argnums=(2,),
+                policy=jax.checkpoint_policies.dots_saveable)
+        elif self.remat == "full":
+            block_cls = nn.remat(Bottleneck, static_argnums=(2,))
+        else:
+            raise ValueError(f"unknown remat mode {self.remat!r}")
+
         inplanes = 64
         for si, ((planes, stride, dilation), blocks) in enumerate(zip(stage_cfg, self.layers), start=1):
             # downsample on the first block when shape/stride/dilation changes
             # (models/deeplabv2.py:250 includes the dilation==2/4 condition)
             needs_ds = stride != 1 or inplanes != planes * 4 or dilation in (2, 4)
             for bi in range(blocks):
-                x = Bottleneck(
+                x = block_cls(
                     planes=planes,
                     stride=stride if bi == 0 else 1,
                     dilation=dilation,
                     has_downsample=needs_ds and bi == 0,
                     dtype=self.dtype,
                     name=f"layer{si}_{bi}",
-                )(x, train=train)
+                )(x, train)
             inplanes = planes * 4
         return x
