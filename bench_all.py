@@ -222,13 +222,77 @@ def bench_eval():
             "unit": "images/s", "batch": B}
 
 
+def bench_pipeline():
+    """END-TO-END seg-train throughput: host decode (PIL or native) + paired
+    augs + collate + device transfer + jitted step, over a synthetic Freiburg
+    tree at the real aligned-IR frame size (320x960). This is the number a
+    user sees per epoch; ``seg`` measures the device step alone."""
+    import tempfile
+
+    from tests.synthetic import make_freiburg_tree
+    from thermal_semantic_segmentation_tpu.cli._common import train_transform
+    from thermal_semantic_segmentation_tpu.data.device_pipeline import device_prefetch
+    from thermal_semantic_segmentation_tpu.data.freiburg import Freiburg
+    from thermal_semantic_segmentation_tpu.data.loader import DataLoader
+    from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+    from thermal_semantic_segmentation_tpu.train.seg import (
+        create_seg_state, make_seg_train_step)
+
+    B = 8
+    native = "--native" in sys.argv
+    device_aug = "--device_aug" in sys.argv
+    wire = ("packed_bf16" if "--wire=packed_bf16" in sys.argv
+            else "packed" if "--wire=packed" in sys.argv else None)
+    with tempfile.TemporaryDirectory() as root:
+        # full-size frames: patch the tree builder's default 40x120 shape
+        import tests.synthetic as synth
+        save_u16, save_rgb, save_label = synth._save_u16, synth._save_rgb, synth._save_label
+        synth._save_u16 = lambda p, r, shape=(320, 960): save_u16(p, r, shape)
+        synth._save_rgb = lambda p, r, shape=(320, 960): save_rgb(p, r, shape)
+        synth._save_label = lambda p, r, shape=(320, 960), **kw: save_label(p, r, shape, **kw)
+        try:
+            make_freiburg_tree(root, n_train=48, n_test=1)
+        finally:
+            synth._save_u16, synth._save_rgb, synth._save_label = save_u16, save_rgb, save_label
+
+        if device_aug:
+            from thermal_semantic_segmentation_tpu.data import transforms as T
+            transform = T.Compose([T.ToArray()])  # host only decodes
+        else:
+            transform = train_transform()
+        dataset = Freiburg(root, "train", "IR", transforms=transform,
+                           with_label=True, native_decode=native)
+        loader = DataLoader(dataset, B, shuffle=True, drop_last=True, seed=0)
+        model, variables = create_deeplab(jax.random.key(0), num_classes=13,
+                                          num_channels=1, dtype=jnp.bfloat16,
+                                          image_size=HW)
+        state = create_seg_state(model, variables, learning_rate=1e-4)
+        step = make_seg_train_step(ignore_index=12, label_hw=HW, base_lr=1e-4,
+                                   device_augment=device_aug)
+
+        # warm epoch: compile + page cache
+        for batch in device_prefetch(iter(loader), wire=wire):
+            state, loss = step(state, batch["image"], batch["label"])
+        _sync(loss)
+        t, n = time.perf_counter(), 0
+        for _ in range(3):
+            for batch in device_prefetch(iter(loader), wire=wire):
+                state, loss = step(state, batch["image"], batch["label"])
+                n += B
+        _sync(loss)
+        dt = time.perf_counter() - t
+    return {"metric": "seg_train_pipeline_images_per_sec",
+            "value": round(n / dt, 2), "unit": "images/s", "batch": B,
+            "native_decode": native, "wire": wire, "device_aug": device_aug}
+
+
 BENCHES = {"seg": bench_seg, "gan": bench_gan, "gan_fused": bench_gan_fused,
            "self_train": bench_self_train, "pseudo": bench_pseudo,
-           "eval": bench_eval}
+           "eval": bench_eval, "pipeline": bench_pipeline}
 
 
 def main():
-    names = sys.argv[1:] or list(BENCHES)
+    names = [a for a in sys.argv[1:] if not a.startswith("-")] or list(BENCHES)
     for name in names:
         t = time.perf_counter()
         result = BENCHES[name]()

@@ -44,8 +44,11 @@ def make_freiburg_tree(root: str, n_train: int = 4, n_test: int = 2,
         _save_rgb(os.path.join(base, "fl_rgb", f"{i:04d}.png"), rng)
         _save_label(os.path.join(base, "fl_rgb_labels", f"{i:04d}.png"), rng)
         if translation_name:
+            # translated source frames as the s2t translator writes them:
+            # single-channel thermal-like uint8 PNGs (cli/translator.py)
             tbase = os.path.join(root, translation_name, "seq_00_day", "00")
-            _save_rgb(os.path.join(tbase, "fl_rgb", f"{i:04d}.png"), rng)
+            _save_label(os.path.join(tbase, "fl_rgb", f"{i:04d}.png"), rng,
+                        num_classes=256)
     for i in range(n_test):
         _save_u16(os.path.join(root, "test", "day", "ImagesIR", f"{i:04d}_ir.png"), rng)
         lbl_path = os.path.join(root, "test", "day", "SegmentationClass", f"{i:04d}_rgb.npy")

@@ -57,7 +57,7 @@ def test_freiburg_translation_mode(freiburg_root):
                   segmentation_mode=True,
                   translation_name="freiburg_rgb2ir_130epochs")
     item = ds.get(0, np.random.default_rng(0))
-    assert item["image"].shape == (256, 512, 3)
+    assert item["image"].shape == (256, 512, 1)
 
 
 def test_freiburg_test_npy_labels(freiburg_root):

@@ -1,0 +1,86 @@
+"""Compact wire-format roundtrip parity (data/wire.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from thermal_semantic_segmentation_tpu.data.device_pipeline import device_prefetch
+from thermal_semantic_segmentation_tpu.data.wire import (
+    PackedFeed, pack_batch, unpack_batch)
+
+
+def _batch(b=4):
+    rng = np.random.default_rng(0)
+    return {
+        "image": rng.uniform(0, 1, (b, 16, 24, 1)).astype(np.float32),
+        "label": rng.integers(0, 13, (b, 16, 24)).astype(np.int64),
+        "weak_params": {
+            "resized_hw": rng.integers(256, 1400, (b, 2)).astype(np.int64),
+            "crop": rng.integers(-4, 4000, (b, 4)).astype(np.int64),
+            "flip": rng.integers(0, 2, (b,)).astype(bool),
+        },
+        "path": [f"img_{i}.png" for i in range(b)],
+    }
+
+
+def test_pack_unpack_roundtrip():
+    batch = _batch()
+    host, packed, spec = pack_batch(batch)
+    assert packed.dtype == np.uint8 and packed.shape[0] == 4
+    out = unpack_batch(jnp.asarray(packed), host, spec)
+    assert out["path"] == batch["path"]
+    np.testing.assert_array_equal(np.asarray(out["image"]), batch["image"])
+    np.testing.assert_array_equal(np.asarray(out["label"]), batch["label"])
+    assert out["label"].dtype == jnp.int32
+    for k in batch["weak_params"]:
+        np.testing.assert_array_equal(
+            np.asarray(out["weak_params"][k]), batch["weak_params"][k])
+    assert out["weak_params"]["flip"].dtype == jnp.bool_
+
+
+def test_wire_narrows_losslessly():
+    batch = _batch()
+    _, packed, _ = pack_batch(batch)
+    dense = (batch["image"].nbytes + 4 * batch["label"].size)
+    assert packed.shape[0] * packed.shape[1] < 0.7 * dense  # u8 labels
+
+
+def test_bf16_float_wire():
+    batch = _batch()
+    host, packed, spec = pack_batch(batch, float_wire="bfloat16")
+    out = unpack_batch(jnp.asarray(packed), host, spec)
+    assert out["image"].dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(out["image"]),
+        batch["image"].astype(jnp.bfloat16).astype(np.float32))
+
+
+def test_packed_feed_matches_plain_prefetch():
+    batches = [_batch(), _batch()]
+    plain = list(device_prefetch(iter(batches)))
+    packed = list(device_prefetch(iter(batches), wire="packed"))
+    assert len(plain) == len(packed) == 2
+    for p, q in zip(plain, packed):
+        np.testing.assert_array_equal(np.asarray(p["image"]),
+                                      np.asarray(q["image"]))
+        np.testing.assert_array_equal(np.asarray(p["label"]),
+                                      np.asarray(q["label"]))
+        assert p["path"] == q["path"]
+
+
+def test_packed_feed_sharded_equals_unsharded():
+    from thermal_semantic_segmentation_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh()
+    if mesh.size == 1:
+        pytest.skip("needs multi-device mesh")
+    batch = _batch(b=8)
+    feed = PackedFeed(mesh)
+    out = feed.put(batch)
+    np.testing.assert_array_equal(np.asarray(out["image"]), batch["image"])
+    np.testing.assert_array_equal(np.asarray(out["label"]), batch["label"])
+    # leading dim sharded over the data axis
+    shard_shapes = {s.data.shape for s in out["image"].addressable_shards}
+    assert all(s[0] == 8 // mesh.shape["data"] or s[0] == 8 // mesh.size
+               for s in shard_shapes)

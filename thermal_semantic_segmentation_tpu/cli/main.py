@@ -154,13 +154,22 @@ def gan_main(args):
         n_batches = min(len(src_loader), len(tgt_loader))
         progress = ProgressMeter(n_batches, list(meters.values()),
                                  prefix=f"Epoch: [{epoch}]")
-        for i, (s_batch, t_batch) in enumerate(zip(src_loader, tgt_loader)):
+        from ..data.device_pipeline import device_prefetch
+        wire = getattr(args, "wire", "packed")
+
+        def merged_batches():
+            for s_batch, t_batch in zip(src_loader, tgt_loader):
+                m = {"real_s": s_batch["image"], "real_t": t_batch["image"]}
+                if args.sem_loss and "label" in s_batch:
+                    m["label_s"] = s_batch["label"]
+                yield m
+
+        for i, b in enumerate(device_prefetch(
+                merged_batches(), mesh, wire=None if wire == "none" else wire)):
             if args.max_steps and i >= args.max_steps:
                 break
-            real_s, real_t = shard_batch(mesh, (jnp.asarray(s_batch["image"]),
-                                                jnp.asarray(t_batch["image"])))
-            label_s = shard_batch(mesh, jnp.asarray(s_batch["label"])) if (
-                args.sem_loss and "label" in s_batch) else None
+            real_s, real_t = b["real_s"], b["real_t"]
+            label_s = b.get("label_s")
             if host_pool:
                 state, metrics, outs = g_step(state, real_s, real_t, label_s,
                                               sem_vars, with_sem=args.sem_loss)

@@ -43,6 +43,13 @@ def _add_roots(parser: argparse.ArgumentParser):
                         help='batch-encode translator/pseudo-label output '
                              'with the native C++ thread-pool encoder '
                              '(PIL-equivalent BICUBIC resize + libjpeg/libpng).')
+    parser.add_argument('--wire', type=str, default='packed',
+                        choices=['none', 'packed', 'packed_bf16'],
+                        help='host->device batch transfer format: packed '
+                             '(default; one compact lossless buffer per '
+                             'batch), packed_bf16 (floats ship as bf16 — '
+                             'identical for bf16-compute steps, see '
+                             'data/wire.py), none (one device_put per leaf).')
     parser.add_argument('--remat', type=str, default='none',
                         choices=['none', 'dots', 'full'],
                         help='backbone rematerialization: none (fastest; '

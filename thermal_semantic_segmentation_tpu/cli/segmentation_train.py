@@ -99,7 +99,9 @@ def seg_main(args, logger):
                                  prefix=f"Epoch: [{epoch}]")
         last = time.perf_counter()
         from ..data.device_pipeline import device_prefetch
-        for i, batch in enumerate(device_prefetch(train_loader, mesh)):
+        wire = getattr(args, "wire", "packed")
+        for i, batch in enumerate(device_prefetch(
+                train_loader, mesh, wire=None if wire == "none" else wire)):
             if args.max_steps and i >= args.max_steps:
                 break
             state, loss = train_step(state, batch["image"], batch["label"])

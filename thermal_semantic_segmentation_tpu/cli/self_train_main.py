@@ -72,7 +72,7 @@ def self_train_main(args, logger):
         prototype_path(args.root, args.target_dataset, args.checkpoint_name))
     prototypes = np.asarray(proto_ckpt["objective_vectors"])
 
-    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    from ..parallel.mesh import make_mesh, replicate
     mesh = make_mesh()
     state = replicate(mesh, create_self_train_state(
         model, variables, prototypes=prototypes, learning_rate=args.lr,
@@ -106,19 +106,27 @@ def self_train_main(args, logger):
         s_loss = AverageMeter("s_loss", ":3.4f")
         progress = ProgressMeter(len(tgt_loader), [pseudo_loss, s_loss],
                                  prefix=f"Epoch: [{epoch}]")
-        for i, (t_batch, s_batch) in enumerate(zip(tgt_loader, src_loader)):
+        from ..data.device_pipeline import device_prefetch
+        wire = getattr(args, "wire", "packed")
+
+        def merged_batches():
+            for t_batch, s_batch in zip(tgt_loader, src_loader):
+                m = {"s_image": s_batch["image"], "s_label": s_batch["label"],
+                     "t_image": t_batch["image"],
+                     "t_full": t_batch["image_full"],
+                     "t_hard": t_batch["label_hard"],
+                     "wp": t_batch["weak_params"]}
+                if "label_soft" in t_batch:
+                    m["t_soft"] = t_batch["label_soft"]
+                yield m
+
+        for i, b in enumerate(device_prefetch(
+                merged_batches(), mesh, wire=None if wire == "none" else wire)):
             if args.max_steps and i >= args.max_steps:
                 break
-            wp = t_batch["weak_params"]
-            sharded = shard_batch(mesh, (
-                jnp.asarray(s_batch["image"]),
-                jnp.asarray(s_batch["label"]),
-                jnp.asarray(t_batch["image"]),
-                jnp.asarray(t_batch["image_full"]),
-                jnp.asarray(t_batch["label_soft"]) if "label_soft" in t_batch else None,
-                jnp.asarray(t_batch["label_hard"]),
-                {k: jnp.asarray(v) for k, v in wp.items()}))
-            state, loss_pseudo, loss_source = step(state, *sharded)
+            state, loss_pseudo, loss_source = step(
+                state, b["s_image"], b["s_label"], b["t_image"], b["t_full"],
+                b.get("t_soft"), b["t_hard"], b["wp"])
             if i % 10 == 0:
                 pseudo_loss.update(float(loss_pseudo), args.batch_size)
                 s_loss.update(float(loss_source), args.batch_size)

@@ -25,7 +25,8 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
                  ignore_index: int = 12, label_hw=(256, 512),
                  visualize: Optional[str] = None, save_root: Optional[str] = None,
                  iter_counter: int = 0, eval_step=None,
-                 pad_to_batch: Optional[int] = None):
+                 pad_to_batch: Optional[int] = None,
+                 wire: Optional[str] = "packed"):
     """Returns (mean_iu, val_loss, cls_iu) like the reference seg_validate.
 
     ``visualize``: None | 'save_all' | 'save_one' (reference flag values).
@@ -34,7 +35,11 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
     zeros — metric-exact (ignored pixels contribute nothing to the confusion
     matrix or CE) and avoids recompiling for the odd last batch. Lets eval run
     at batch > 1 while matching the reference's batch-1 protocol bit-for-bit.
+    ``wire``: host->device feed format (data/wire.py); 'packed' (default)
+    double-buffers one compact lossless transfer per batch, None = per-leaf.
     """
+    from ..data.device_pipeline import device_prefetch
+
     if eval_step is None:
         eval_step = build_seg_eval_step(model, num_classes=num_classes,
                                         ignore_index=ignore_index, label_hw=label_hw)
@@ -42,7 +47,7 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
     loss_sum = jnp.zeros((), jnp.float32)  # accumulated on device
     n_seen = 0
     palette = freiburg_palette()
-    for i, batch in enumerate(loader):
+    for i, batch in enumerate(device_prefetch(iter(loader), wire=wire)):
         image = jnp.asarray(batch["image"])
         label = jnp.asarray(batch["label"])
         real_bs = image.shape[0]
