@@ -241,8 +241,12 @@ def bench_pipeline():
     B = 8
     native = "--native" in sys.argv
     device_aug = "--device_aug" in sys.argv
+    cache = "--cache" in sys.argv
     wire = ("packed_bf16" if "--wire=packed_bf16" in sys.argv
             else "packed" if "--wire=packed" in sys.argv else None)
+    if cache:
+        from thermal_semantic_segmentation_tpu.data.cache import set_decode_cache
+        set_decode_cache(2048)
     with tempfile.TemporaryDirectory() as root:
         # full-size frames: patch the tree builder's default 40x120 shape
         import tests.synthetic as synth
@@ -283,7 +287,8 @@ def bench_pipeline():
         dt = time.perf_counter() - t
     return {"metric": "seg_train_pipeline_images_per_sec",
             "value": round(n / dt, 2), "unit": "images/s", "batch": B,
-            "native_decode": native, "wire": wire, "device_aug": device_aug}
+            "native_decode": native, "wire": wire, "device_aug": device_aug,
+            "decode_cache": cache}
 
 
 BENCHES = {"seg": bench_seg, "gan": bench_gan, "gan_fused": bench_gan_fused,

@@ -1,0 +1,63 @@
+"""Decoded-frame cache (data/cache.py): parity, LRU bounds, CLI wiring."""
+
+import numpy as np
+import pytest
+
+from thermal_semantic_segmentation_tpu.data.cache import (
+    DecodeCache, decode_cache, set_decode_cache)
+
+
+@pytest.fixture()
+def freiburg_root(tmp_path):
+    from tests.synthetic import make_freiburg_tree
+    return make_freiburg_tree(str(tmp_path / "freiburg"), n_train=4)
+
+
+def test_cache_hits_and_parity(freiburg_root):
+    from thermal_semantic_segmentation_tpu.cli._common import train_transform
+    from thermal_semantic_segmentation_tpu.data.freiburg import Freiburg
+
+    ds = Freiburg(freiburg_root, "train", "IR", transforms=train_transform(),
+                  with_label=True)
+    cold = ds.get(0, np.random.default_rng(5))
+    set_decode_cache(64)
+    try:
+        first = ds.get(0, np.random.default_rng(5))   # fills cache
+        assert decode_cache().misses >= 1
+        hits_before = decode_cache().hits
+        second = ds.get(0, np.random.default_rng(5))  # pure cache hits
+        assert decode_cache().hits > hits_before
+        np.testing.assert_array_equal(first["image"], cold["image"])
+        np.testing.assert_array_equal(second["image"], cold["image"])
+        np.testing.assert_array_equal(second["label"], cold["label"])
+    finally:
+        set_decode_cache(0)
+
+
+def test_lru_eviction_bounds_bytes():
+    cache = DecodeCache(max_bytes=3000)
+    for i in range(10):
+        cache.get_or_decode(i, lambda i=i: np.full((1000,), i, np.uint8))
+    assert cache.nbytes <= 3000
+    # most recent entries survive, oldest evicted
+    assert 9 in cache._entries and 0 not in cache._entries
+    # an over-sized entry is returned but not cached
+    big = cache.get_or_decode("big", lambda: np.zeros((5000,), np.uint8))
+    assert big.shape == (5000,) and "big" not in cache._entries
+
+
+def test_disabled_cache_decodes_every_time():
+    cache = DecodeCache(max_bytes=0)
+    calls = []
+    for _ in range(3):
+        cache.get_or_decode("k", lambda: calls.append(1) or np.zeros(4))
+    assert len(calls) == 3
+
+
+def test_cli_flag_sets_global_cache():
+    from thermal_semantic_segmentation_tpu.cli.options import seg_parse
+    try:
+        seg_parse().parse_args(["--decode_cache_mb", "8"])
+        assert decode_cache().max_bytes == 8 * 2**20
+    finally:
+        set_decode_cache(0)

@@ -15,6 +15,20 @@ from __future__ import annotations
 import argparse
 
 
+class HostConfigParser(argparse.ArgumentParser):
+    """ArgumentParser that applies host-side settings (decode cache) at
+    parse time, so every entry point honors the common flags without
+    per-main wiring."""
+
+    def parse_args(self, *a, **kw):  # type: ignore[override]
+        args = super().parse_args(*a, **kw)
+        mb = getattr(args, "decode_cache_mb", 0.0)
+        if mb:
+            from ..data.cache import set_decode_cache
+            set_decode_cache(mb)
+        return args
+
+
 def str2bool(v) -> bool:
     if isinstance(v, bool):
         return v
@@ -50,6 +64,10 @@ def _add_roots(parser: argparse.ArgumentParser):
                              'batch), packed_bf16 (floats ship as bf16 — '
                              'identical for bf16-compute steps, see '
                              'data/wire.py), none (one device_put per leaf).')
+    parser.add_argument('--decode_cache_mb', type=float, default=0.0,
+                        help='in-RAM LRU for decoded frames (data/cache.py); '
+                             'epoch 2+ skips PNG decode entirely. ~12000 '
+                             'caches the full Freiburg train split. 0 = off.')
     parser.add_argument('--remat', type=str, default='none',
                         choices=['none', 'dots', 'full'],
                         help='backbone rematerialization: none (fastest; '
@@ -62,7 +80,7 @@ def _add_roots(parser: argparse.ArgumentParser):
 
 def train_parse():
     """GAN translation training options (options.py:4-24)."""
-    parser = argparse.ArgumentParser(description='train options')
+    parser = HostConfigParser(description='train options')
     parser.add_argument('-batch_size', type=int, default=4)
     parser.add_argument('-sem_loss', type=str2bool, default=False)
     parser.add_argument('-load_model', type=str2bool, default=False)
@@ -103,7 +121,7 @@ def train_parse():
 
 def translation_parse():
     """Offline translator options (options.py:27-48)."""
-    parser = argparse.ArgumentParser(description='translation options')
+    parser = HostConfigParser(description='translation options')
     parser.add_argument('--root', type=str, default='')
     parser.add_argument('-dataset', type=str, default='Cityscapes')
     parser.add_argument('-batch_size', type=int, default=1)
@@ -123,7 +141,7 @@ def translation_parse():
 
 def seg_parse():
     """Segmentation training options (options.py:51-80)."""
-    parser = argparse.ArgumentParser(description='segmentation options')
+    parser = HostConfigParser(description='segmentation options')
     parser.add_argument('--root', type=str, default='')
     parser.add_argument('-load_model', type=str2bool, default=False)
     parser.add_argument('-epochs', type=int, default=50)
@@ -168,7 +186,7 @@ def seg_parse():
 
 def evaluation_parse():
     """Evaluation options (options.py:83-103)."""
-    parser = argparse.ArgumentParser(description='segmentation options')
+    parser = HostConfigParser(description='segmentation options')
     parser.add_argument('--root', default='')
     parser.add_argument('-val_batch_size', type=int, default=1)
     parser.add_argument('-checkpoint_name', type=str,
@@ -195,7 +213,7 @@ def evaluation_parse():
 
 def calc_proto_parse():
     """Prototype computation options (options.py:105-118)."""
-    parser = argparse.ArgumentParser(description='prototype computation options.')
+    parser = HostConfigParser(description='prototype computation options.')
     parser.add_argument('-normalize', type=float, nargs='+', default=[0.5])
     parser.add_argument('-net_mode', type=str, default='one_channel')
     parser.add_argument('-dataset', type=str, default='freiburg_ir')
@@ -213,7 +231,7 @@ def calc_proto_parse():
 
 def pseudo_generation_parse():
     """Pseudo-label generation options (generate_pseudo_label.py:101-108)."""
-    parser = argparse.ArgumentParser(description="config")
+    parser = HostConfigParser(description="config")
     parser.add_argument('--root', type=str, default='')
     parser.add_argument('--soft', type=str2bool, default=False)
     parser.add_argument('--flip', type=str2bool, default=False)
@@ -230,7 +248,7 @@ def pseudo_generation_parse():
 
 def self_train_parse():
     """Self-training options (self_train_main.py:145-181)."""
-    parser = argparse.ArgumentParser(description="config")
+    parser = HostConfigParser(description="config")
     parser.add_argument('--root', type=str, default='')
     parser.add_argument('--resize', type=int, default=1200)
     parser.add_argument('--rcrop', type=int, nargs=2, default=[512, 256])

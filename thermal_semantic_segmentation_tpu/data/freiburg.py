@@ -33,27 +33,44 @@ COL_CROP = (150, 850)
 
 
 def load_ir_image(path: str) -> Image.Image:
-    """16-bit IR PNG -> float [0,1] PIL 'F' image, windowed + column-cropped."""
-    image = np.array(Image.open(path).resize(RAW_SIZE, Image.BICUBIC), dtype=np.float32)
-    image = image[:, COL_CROP[0]:COL_CROP[1]]
-    image = np.clip(image, IR_MIN, IR_MAX)
-    image = (image - IR_MIN) / (IR_MAX - IR_MIN)
-    return Image.fromarray(image)
+    """16-bit IR PNG -> float [0,1] PIL 'F' image, windowed + column-cropped.
+
+    Decoded frames go through the optional data.cache decode cache (decode is
+    ~half the per-sample host cost; epoch 2+ skips it entirely when enabled)."""
+    def decode():
+        image = np.array(Image.open(path).resize(RAW_SIZE, Image.BICUBIC),
+                         dtype=np.float32)
+        image = image[:, COL_CROP[0]:COL_CROP[1]]
+        image = np.clip(image, IR_MIN, IR_MAX)
+        return (image - IR_MIN) / (IR_MAX - IR_MIN)
+
+    from .cache import decode_cache
+    return Image.fromarray(decode_cache().get_or_decode(("ir", path), decode))
 
 
 def load_rgb_image(path: str, grayscale: bool = False) -> Image.Image:
-    img = Image.open(path).convert("RGB")
-    if grayscale:
-        from PIL import ImageOps
-        img = ImageOps.grayscale(img)
-    arr = np.array(img.resize(RAW_SIZE, Image.BICUBIC), dtype=np.float32)
-    arr = arr[:, COL_CROP[0]:COL_CROP[1]]
-    return Image.fromarray(np.uint8(arr))
+    def decode():
+        img = Image.open(path).convert("RGB")
+        if grayscale:
+            from PIL import ImageOps
+            img = ImageOps.grayscale(img)
+        arr = np.array(img.resize(RAW_SIZE, Image.BICUBIC), dtype=np.float32)
+        return np.uint8(arr[:, COL_CROP[0]:COL_CROP[1]])
+
+    from .cache import decode_cache
+    return Image.fromarray(
+        decode_cache().get_or_decode(("rgb", path, grayscale), decode))
 
 
 def load_label(path: str) -> Image.Image:
-    label = np.array(Image.open(path).resize(RAW_SIZE, Image.NEAREST), dtype=np.uint8)
-    return Image.fromarray(label[:, COL_CROP[0]:COL_CROP[1]], mode="L")
+    def decode():
+        label = np.array(Image.open(path).resize(RAW_SIZE, Image.NEAREST),
+                         dtype=np.uint8)
+        return label[:, COL_CROP[0]:COL_CROP[1]]
+
+    from .cache import decode_cache
+    return Image.fromarray(
+        decode_cache().get_or_decode(("label", path), decode), mode="L")
 
 
 class Freiburg:
@@ -105,7 +122,11 @@ class Freiburg:
             return load_rgb_image(image_name, self.grayscale)
         if self.segmentation_mode and not self.self_train:
             translated = image_name.replace(str(self.split), self.translation_name)
-            return Image.open(translated)
+            from .cache import decode_cache
+            arr = decode_cache().get_or_decode(
+                ("translated", translated),
+                lambda: np.asarray(Image.open(translated)))
+            return Image.fromarray(arr)
         raise ValueError("Not a valid domain.")
 
     def get_batch(self, indices: Sequence[int],
