@@ -84,3 +84,11 @@ def test_packed_feed_sharded_equals_unsharded():
     shard_shapes = {s.data.shape for s in out["image"].addressable_shards}
     assert all(s[0] == 8 // mesh.shape["data"] or s[0] == 8 // mesh.size
                for s in shard_shapes)
+
+
+def test_device_arrays_pass_through_unpacked():
+    batch = {"host_meta": jnp.arange(4), "image": _batch()["image"]}
+    feed = PackedFeed()
+    out = feed.put(batch)
+    assert out["host_meta"] is batch["host_meta"]  # no host roundtrip
+    np.testing.assert_array_equal(np.asarray(out["image"]), batch["image"])

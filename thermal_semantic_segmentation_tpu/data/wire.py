@@ -7,7 +7,8 @@ ships labels at integer width. This module packs a whole batch pytree into
 ONE uint8 buffer of shape (B, bytes_per_sample):
 
 - integer leaves are narrowed losslessly (range-checked per batch) to
-  uint8/int16/int32; bool leaves travel as uint8;
+  uint8/int16/int32; bool leaves travel as uint8 (values beyond int32 wrap
+  exactly as x64-disabled jax.device_put of int64 already does);
 - float64 leaves are cast to float32 (what x64-disabled jax would do on
   device_put anyway); float32 leaves travel as-is, or as bfloat16 when
   ``float_wire='bfloat16'`` (bit-identical end-to-end for bf16-compute steps,
@@ -70,7 +71,9 @@ def pack_batch(batch: Dict[str, Any], *, float_wire: Optional[str] = None
     leaves, treedef = jax.tree.flatten(batch)
     arrays, host, mask = [], [], []
     for leaf in leaves:
-        arr = np.asarray(leaf) if isinstance(leaf, (np.ndarray, jax.Array)) else None
+        # jax.Arrays are already device-resident: pass through untouched
+        # (np.asarray would round-trip them through the host).
+        arr = leaf if isinstance(leaf, np.ndarray) else None
         if arr is not None and arr.ndim >= 1 and arr.dtype != object:
             arrays.append(arr)
             mask.append(True)
