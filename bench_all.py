@@ -297,7 +297,14 @@ BENCHES = {"seg": bench_seg, "gan": bench_gan, "gan_fused": bench_gan_fused,
 
 
 def main():
-    names = [a for a in sys.argv[1:] if not a.startswith("-")] or list(BENCHES)
+    names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    flags = [a for a in sys.argv[1:] if a.startswith("-")]
+    if flags and not names:
+        # a flags-only invocation almost certainly forgot the bench name —
+        # don't silently launch every benchmark (~10 min of GAN compile)
+        sys.exit(f"bench_all.py: flags {flags} given but no benchmark name; "
+                 f"choose from {sorted(BENCHES)}")
+    names = names or list(BENCHES)
     for name in names:
         t = time.perf_counter()
         result = BENCHES[name]()

@@ -61,3 +61,12 @@ def test_cli_flag_sets_global_cache():
         assert decode_cache().max_bytes == 8 * 2**20
     finally:
         set_decode_cache(0)
+
+
+def test_resize_shrink_evicts_immediately():
+    cache = DecodeCache(max_bytes=10000)
+    for i in range(8):
+        cache.get_or_decode(i, lambda i=i: np.full((1000,), i, np.uint8))
+    cache.resize(2000)
+    assert cache.nbytes <= 2000
+    assert 7 in cache._entries and 0 not in cache._entries

@@ -92,3 +92,14 @@ def test_device_arrays_pass_through_unpacked():
     out = feed.put(batch)
     assert out["host_meta"] is batch["host_meta"]  # no host roundtrip
     np.testing.assert_array_equal(np.asarray(out["image"]), batch["image"])
+
+
+def test_resolve_wire_guards_lossy_bf16():
+    import argparse
+    from thermal_semantic_segmentation_tpu.cli._common import resolve_wire
+    ns = argparse.Namespace(wire="packed_bf16", bf16=False)
+    assert resolve_wire(ns) == "packed"            # f32 compute: downgraded
+    ns.bf16 = True
+    assert resolve_wire(ns) == "packed_bf16"       # bf16 compute: allowed
+    assert resolve_wire(ns, bf16_compute=False) == "packed"  # explicit override
+    assert resolve_wire(argparse.Namespace(wire="none")) is None

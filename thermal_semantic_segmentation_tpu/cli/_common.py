@@ -15,6 +15,29 @@ from ..models.deeplab import create_deeplab
 from ..models.torch_convert import torch_state_dict_to_flax
 
 
+def resolve_wire(args, *, bf16_compute: bool | None = None) -> str | None:
+    """Map --wire to a device_prefetch mode, guarding the lossy variant.
+
+    'packed_bf16' truncates float32 leaves to bfloat16 on the wire — only
+    transparent when the consuming step computes in bf16 anyway. When the run
+    is f32-compute (no --bf16, or an explicit bf16_compute=False), downgrade
+    to lossless 'packed' with a warning instead of silently changing
+    numerics (the self-train CLI's soft pseudo-labels are the sharp edge)."""
+    wire = getattr(args, "wire", "packed")
+    if wire == "none":
+        return None
+    if wire == "packed_bf16":
+        bf16 = (bf16_compute if bf16_compute is not None
+                else getattr(args, "bf16", False))
+        if not bf16:
+            import logging
+            logging.getLogger(__name__).warning(
+                "--wire packed_bf16 requires bf16 compute to be lossless; "
+                "this run computes in float32 — using --wire packed instead")
+            return "packed"
+    return wire
+
+
 def train_transform():
     """The canonical train aug (segmentation_train.py:89-94)."""
     return T.Compose([

@@ -155,7 +155,8 @@ def gan_main(args):
         progress = ProgressMeter(n_batches, list(meters.values()),
                                  prefix=f"Epoch: [{epoch}]")
         from ..data.device_pipeline import device_prefetch
-        wire = getattr(args, "wire", "packed")
+        from ._common import resolve_wire
+        wire = resolve_wire(args, bf16_compute=args.bf16)
 
         def merged_batches():
             for s_batch, t_batch in zip(src_loader, tgt_loader):
@@ -165,7 +166,7 @@ def gan_main(args):
                 yield m
 
         for i, b in enumerate(device_prefetch(
-                merged_batches(), mesh, wire=None if wire == "none" else wire)):
+                merged_batches(), mesh, wire=wire)):
             if args.max_steps and i >= args.max_steps:
                 break
             real_s, real_t = b["real_s"], b["real_t"]

@@ -71,10 +71,11 @@ def _add_roots(parser: argparse.ArgumentParser):
     parser.add_argument('--remat', type=str, default='none',
                         choices=['none', 'dots', 'full'],
                         help='backbone rematerialization: none (fastest; '
-                             'default), dots (save only conv outputs), full '
-                             '(save only block boundaries — 2.2x lower peak '
-                             'HBM for ~15%% throughput, enables large-batch/'
-                             'high-res training).')
+                             'default), dots (save only matmul/conv outputs; '
+                             'measured no memory benefit on TPU — XLA already '
+                             'elides those residuals), full (save only block '
+                             'boundaries — 2.2x lower peak HBM for ~15%% '
+                             'throughput; large-batch/high-res training).')
     parser.add_argument('--seed', type=int, default=0)
 
 

@@ -13,7 +13,8 @@ import os
 
 from ..data.loader import DataLoader, split_indices
 from ..eval.validate import seg_validate
-from ._common import build_deeplab, build_seg_dataset, load_seg_checkpoint, val_transform
+from ._common import (build_deeplab, build_seg_dataset, load_seg_checkpoint,
+                      resolve_wire, val_transform)
 from .options import evaluation_parse
 
 
@@ -50,7 +51,8 @@ def seg_evaluation(args):
     mean_iu, avg_loss, class_iou = seg_validate(
         model, variables, loader, num_classes=args.num_classes,
         ignore_index=args.ignore_index, visualize=args.visualize_prediction,
-        save_root=save_root, pad_to_batch=args.val_batch_size)
+        save_root=save_root, pad_to_batch=args.val_batch_size,
+        wire=resolve_wire(args))
     print("checkpoint name: " + args.checkpoint_name)
     print(f"mean iou score: [{mean_iu}]. val_loss: [{avg_loss}]")
     for k, v in class_iou.items():

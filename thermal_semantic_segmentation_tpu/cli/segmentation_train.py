@@ -24,7 +24,7 @@ from ..parallel.mesh import host_shard, make_mesh, replicate, shard_batch
 from ..train.seg import build_seg_eval_step, create_seg_state, make_seg_train_step
 from ..utils.logging import get_logger
 from ..utils.meters import AverageMeter, ProgressMeter
-from ._common import (build_deeplab, build_seg_dataset, load_seg_checkpoint,
+from ._common import (build_deeplab, build_seg_dataset, load_seg_checkpoint, resolve_wire,
                       save_seg_checkpoint, train_transform, val_transform)
 from .options import seg_parse
 
@@ -99,9 +99,9 @@ def seg_main(args, logger):
                                  prefix=f"Epoch: [{epoch}]")
         last = time.perf_counter()
         from ..data.device_pipeline import device_prefetch
-        wire = getattr(args, "wire", "packed")
+        wire = resolve_wire(args)
         for i, batch in enumerate(device_prefetch(
-                train_loader, mesh, wire=None if wire == "none" else wire)):
+                train_loader, mesh, wire=wire)):
             if args.max_steps and i >= args.max_steps:
                 break
             state, loss = train_step(state, batch["image"], batch["label"])
@@ -121,7 +121,7 @@ def seg_main(args, logger):
         mean_iu, val_loss, class_iou = seg_validate(
             model, state.variables, val_loader, num_classes=args.num_classes,
             ignore_index=args.ignore_index, eval_step=eval_step,
-            pad_to_batch=args.val_batch_size)
+            pad_to_batch=args.val_batch_size, wire=resolve_wire(args))
         scale = scheduler.step(val_loss)
         state = state.replace(lr_scale=jnp.asarray(scale, jnp.float32))
 
@@ -142,7 +142,7 @@ def seg_main(args, logger):
         mean_iu, val_loss, class_iou = seg_validate(
             model, state.variables, target_val_loader, num_classes=13,
             ignore_index=args.ignore_index, eval_step=eval_step,
-            pad_to_batch=args.val_batch_size)
+            pad_to_batch=args.val_batch_size, wire=resolve_wire(args))
         line = "target test dataset mean iou score: " + str(mean_iu)
         logger.info(line); print(line)
         for k, v in class_iou.items():

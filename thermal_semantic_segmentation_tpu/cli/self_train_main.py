@@ -29,7 +29,8 @@ from ..train.seg import build_seg_eval_step
 from ..train.self_train import create_self_train_state, make_self_train_step
 from ..utils.logging import get_logger
 from ..utils.meters import AverageMeter, ProgressMeter
-from ._common import load_seg_checkpoint, save_seg_checkpoint, train_transform, val_transform
+from ._common import (load_seg_checkpoint, resolve_wire, save_seg_checkpoint,
+                      train_transform, val_transform)
 from .cal_prototype import prototype_path
 from .options import self_train_parse
 
@@ -107,7 +108,9 @@ def self_train_main(args, logger):
         progress = ProgressMeter(len(tgt_loader), [pseudo_loss, s_loss],
                                  prefix=f"Epoch: [{epoch}]")
         from ..data.device_pipeline import device_prefetch
-        wire = getattr(args, "wire", "packed")
+        # the self-train model computes in f32 (parity recipe): packed_bf16
+        # would silently truncate the soft pseudo-labels, so it downgrades
+        wire = resolve_wire(args, bf16_compute=False)
 
         def merged_batches():
             for t_batch, s_batch in zip(tgt_loader, src_loader):
@@ -121,7 +124,7 @@ def self_train_main(args, logger):
                 yield m
 
         for i, b in enumerate(device_prefetch(
-                merged_batches(), mesh, wire=None if wire == "none" else wire)):
+                merged_batches(), mesh, wire=wire)):
             if args.max_steps and i >= args.max_steps:
                 break
             state, loss_pseudo, loss_source = step(
@@ -137,7 +140,7 @@ def self_train_main(args, logger):
                     model, state.variables, val_loader,
                     num_classes=args.num_classes,
                     ignore_index=args.ignore_index, eval_step=eval_step,
-                    pad_to_batch=args.batch_size,
+                    pad_to_batch=args.batch_size, wire=wire,
                     visualize=args.visualize_prediction,
                     save_root=os.path.join(args.root, "predictions",
                                            args.new_checkpoint_name.replace(".pth", "")),

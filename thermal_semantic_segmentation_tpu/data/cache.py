@@ -62,6 +62,13 @@ class DecodeCache:
                     self._bytes -= old.nbytes
             return self._entries[key]
 
+    def resize(self, max_bytes: int):
+        with self._lock:
+            self.max_bytes = max_bytes
+            while self._bytes > max(max_bytes, 0) and self._entries:
+                _, old = self._entries.popitem(last=False)
+                self._bytes -= old.nbytes
+
     def clear(self):
         with self._lock:
             self._entries.clear()
@@ -76,10 +83,9 @@ _GLOBAL = DecodeCache(0)
 
 
 def set_decode_cache(max_mb: float) -> DecodeCache:
-    """Resize the process-global decode cache (0 disables and clears)."""
-    _GLOBAL.max_bytes = int(max_mb * 2**20)
-    if _GLOBAL.max_bytes <= 0:
-        _GLOBAL.clear()
+    """Resize the process-global decode cache (0 disables and clears).
+    Shrinking evicts immediately so the new bound holds right away."""
+    _GLOBAL.resize(int(max_mb * 2**20))
     return _GLOBAL
 
 

@@ -32,7 +32,7 @@ def device_prefetch(iterator: Iterable[dict], mesh=None, *, size: int = 2,
         feed = PackedFeed(mesh, float_wire="bfloat16" if wire == "packed_bf16"
                           else None)
         put = feed.put
-    elif wire is None:
+    elif wire is None or wire == "none":
         sharding = batch_sharding(mesh) if mesh is not None else None
 
         def put_leaf(x):

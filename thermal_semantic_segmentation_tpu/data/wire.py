@@ -147,7 +147,6 @@ class PackedFeed:
         from ..parallel.mesh import batch_sharding
         self.sharding = batch_sharding(mesh) if mesh is not None else None
         self.float_wire = float_wire
-        self._unpack_cache = {}
 
     def put(self, batch: Dict[str, Any]):
         host_leaves, packed, spec = pack_batch(batch,
@@ -157,12 +156,12 @@ class PackedFeed:
         dev = (jax.device_put(packed, self.sharding)
                if self.sharding is not None else jax.device_put(packed))
         treedef, mask, entries = spec
-        key = (entries, packed.shape)
-        fn = self._unpack_cache.get(key)
-        if fn is None:
-            fn = jax.jit(unpack_arrays, static_argnums=1)
-            self._unpack_cache[key] = fn
-        arrays = fn(dev, entries)
+        arrays = _jitted_unpack(dev, entries)
         it_a, it_h = iter(arrays), iter(host_leaves)
         leaves = [next(it_a) if m else next(it_h) for m in mask]
         return jax.tree.unflatten(treedef, leaves)
+
+
+# process-wide: jax.jit's own cache keys on (entries, shapes/shardings), so
+# fresh PackedFeed instances per epoch never re-trace a seen batch layout
+_jitted_unpack = jax.jit(unpack_arrays, static_argnums=1)
