@@ -204,3 +204,75 @@ def test_remat_matches_baseline_exactly(remat):
     loss1, got = grads_with(remat)
     assert loss0 == loss1
     jax.tree.map(np.testing.assert_array_equal, ref, got)
+
+
+def test_grad_accum_matches_sequential_microbatches(tiny_model):
+    """grad_accum=A must equal: per-microbatch grads averaged into ONE
+    optimizer update, BN stats threaded sequentially, per-microbatch dropout
+    keys — verified against a hand-rolled unrolled reference. SGD is used
+    because its update is linear in the gradient (Adam's m/sqrt(v) is
+    scale-invariant and amplifies f32 scan-vs-unroll noise near zero, hiding
+    exactly the scale bugs this test exists to catch)."""
+    model, variables = tiny_model
+    image, label = _batch(bs=4, seed=7)
+
+    # accumulated step
+    state = create_seg_state(model, variables, learning_rate=1e-3,
+                             optimizer="sgd")
+    step = make_seg_train_step(ignore_index=12, label_hw=LABEL_HW,
+                               base_lr=1e-3, grad_accum=2)
+    host_vars = jax.tree.map(np.asarray, variables)  # snapshot (donation)
+    new_state, loss = step(state, image, label)
+    got_params = jax.tree.map(np.asarray, new_state.params)
+    got_stats = jax.tree.map(np.asarray, new_state.batch_stats)
+    got_loss = float(loss)
+
+    # reference: explicit python loop over the two microbatches
+    import optax
+    from thermal_semantic_segmentation_tpu.losses import cross_entropy
+    from thermal_semantic_segmentation_tpu.ops.resize import upsample_logits
+    variables = jax.tree.map(jnp.asarray, host_vars)
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-3, momentum=0.9)
+    opt_state = tx.init(params)
+    rng = jax.random.fold_in(jax.random.key(0), 0)
+
+    def loss_fn(p, stats, im, lab, key):
+        out, mut = model.apply({"params": p, "batch_stats": stats}, im,
+                               train=True, mutable=["batch_stats"],
+                               rngs={"dropout": key})
+        logits = upsample_logits(out["out"], *LABEL_HW)
+        return (cross_entropy(logits, lab, ignore_index=12),
+                mut["batch_stats"])
+
+    @jax.jit
+    def ref(params, stats, opt_state):
+        grad_sum, losses = None, []
+        for i in range(2):
+            im, lab = image[2 * i:2 * i + 2], label[2 * i:2 * i + 2]
+            (l, stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, stats, im, lab, jax.random.fold_in(rng, i))
+            losses.append(l)
+            grad_sum = g if grad_sum is None else jax.tree.map(
+                jnp.add, grad_sum, g)
+        grads = jax.tree.map(lambda g: g / 2, grad_sum)
+        opt_state.hyperparams["learning_rate"] = 1e-3
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), stats, sum(losses) / 2
+
+    want_params, want_stats, want_loss = ref(params, stats, opt_state)
+    np.testing.assert_allclose(got_loss, float(want_loss), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, np.asarray(b), rtol=2e-5, atol=1e-7), got_stats, want_stats)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, np.asarray(b), rtol=2e-5, atol=1e-7), got_params, want_params)
+
+
+def test_grad_accum_rejects_indivisible_batch(tiny_model):
+    model, variables = tiny_model
+    state = create_seg_state(model, variables, learning_rate=1e-3)
+    step = make_seg_train_step(ignore_index=12, label_hw=LABEL_HW,
+                               base_lr=1e-3, grad_accum=3)
+    image, label = _batch(bs=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, image, label)

@@ -181,6 +181,11 @@ def seg_parse():
                         help="batch-norm stats under the mesh: 'sync' sees "
                              "the global batch; 'per_replica' matches the "
                              "reference's single-device BN semantics.")
+    parser.add_argument('-grad_accum', type=int, default=1,
+                        help='microbatch count per optimizer step (lax.scan; '
+                             'grads averaged, BN stats sequential). Cuts '
+                             'activation memory ~grad_accum-fold; combine '
+                             'with --remat full for high-res training.')
     _add_roots(parser)
     return parser
 

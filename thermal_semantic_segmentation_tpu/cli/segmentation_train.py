@@ -82,7 +82,8 @@ def seg_main(args, logger):
                                      dropout_seed=args.seed,
                                      device_augment=device_aug,
                                      bn_mode=getattr(args, "bn_mode", "sync"),
-                                     mesh=mesh)
+                                     mesh=mesh,
+                                     grad_accum=getattr(args, "grad_accum", 1))
     eval_step = build_seg_eval_step(model, num_classes=args.num_classes,
                                     ignore_index=args.ignore_index,
                                     label_hw=(256, 512))

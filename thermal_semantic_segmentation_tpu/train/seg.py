@@ -85,7 +85,8 @@ def create_seg_state(model, variables, *, learning_rate: float,
 def make_seg_train_step(*, ignore_index: int, label_hw: Tuple[int, int] = (256, 512),
                         base_lr: float, dropout_seed: int = 0,
                         device_augment: bool = False,
-                        bn_mode: str = "sync", mesh=None):
+                        bn_mode: str = "sync", mesh=None,
+                        grad_accum: int = 1):
     """Returns jitted (state, image, label) -> (state, loss).
 
     device_augment=True: the step takes RAW full-resolution batches and runs
@@ -100,6 +101,12 @@ def make_seg_train_step(*, ignore_index: int, label_hw: Tuple[int, int] = (256, 
     single-device / torch-DDP-without-SyncBN semantics); gradients and the
     stored running stats are pmean'd so the replicated state stays identical.
     Requires ``mesh``.
+
+    grad_accum > 1 splits the batch into that many microbatches under
+    lax.scan: gradients average into ONE optimizer update while BN stats
+    thread sequentially (each microbatch normalizes with its own stats).
+    Peak activation memory drops ~grad_accum-fold; compose with the model's
+    ``remat='full'`` for high-resolution training under a fixed HBM budget.
     """
 
     def step_core(state: SegTrainState, image: jax.Array, label: jax.Array,
@@ -115,16 +122,49 @@ def make_seg_train_step(*, ignore_index: int, label_hw: Tuple[int, int] = (256, 
             image, label = random_resized_crop_flip(
                 aug_key, image, labels=label, out_hw=label_hw)
 
-        def loss_fn(params):
+        def loss_fn(params, stats, image, label, rng):
             out, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": stats},
                 image, train=True, mutable=["batch_stats"],
                 rngs={"dropout": rng})
             logits = upsample_logits(out["out"], *label_hw)
             loss = cross_entropy(logits, label, ignore_index=ignore_index)
             return loss, mutated["batch_stats"]
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum == 1:
+            (loss, new_stats), grads = grad_fn(state.params, state.batch_stats,
+                                               image, label, rng)
+        else:
+            # lax.scan over microbatches: grads are averaged (one Adam update
+            # over the full batch), BN batch stats thread SEQUENTIALLY —
+            # microbatch i normalizes with ITS OWN stats and running stats
+            # fold in order, exactly as grad_accum sequential torch steps
+            # without an optimizer step in between would. Peak activation
+            # memory drops by ~grad_accum (compose with remat='full' for
+            # high-res training).
+            if image.shape[0] % grad_accum:
+                raise ValueError(f"batch {image.shape[0]} not divisible by "
+                                 f"grad_accum {grad_accum}")
+            mb = image.shape[0] // grad_accum
+            images = image.reshape(grad_accum, mb, *image.shape[1:])
+            labels = label.reshape(grad_accum, mb, *label.shape[1:])
+            keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+                jnp.arange(grad_accum))
+
+            def body(carry, xs):
+                stats, grad_sum, loss_sum = carry
+                im, lab, key = xs
+                (l, stats), g = grad_fn(state.params, stats, im, lab, key)
+                grad_sum = jax.tree.map(jnp.add, grad_sum, g)
+                return (stats, grad_sum, loss_sum + l), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, grads, loss), _ = jax.lax.scan(
+                body, (state.batch_stats, zero_grads, jnp.zeros(())),
+                (images, labels, keys))
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            loss = loss / grad_accum
         if axis is not None:
             grads = jax.lax.pmean(grads, axis)
             loss = jax.lax.pmean(loss, axis)
