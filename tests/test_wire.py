@@ -103,3 +103,36 @@ def test_resolve_wire_guards_lossy_bf16():
     assert resolve_wire(ns) == "packed_bf16"       # bf16 compute: allowed
     assert resolve_wire(ns, bf16_compute=False) == "packed"  # explicit override
     assert resolve_wire(argparse.Namespace(wire="none")) is None
+
+
+def test_randomized_roundtrip_many_dtypes():
+    """Fuzz the pack/unpack roundtrip across dtypes, shapes, and values
+    (incl. int16/int32 boundaries, negatives, empty tail dims)."""
+    rng = np.random.default_rng(42)
+    dtypes = [np.float32, np.float64, np.int64, np.int32, np.int16, np.uint8,
+              np.bool_]
+    for trial in range(20):
+        b = int(rng.integers(1, 5))
+        batch = {}
+        for k in range(int(rng.integers(1, 5))):
+            dt = dtypes[int(rng.integers(len(dtypes)))]
+            shape = (b, *rng.integers(1, 7, size=int(rng.integers(0, 3))))
+            if dt == np.bool_:
+                arr = rng.integers(0, 2, shape).astype(bool)
+            elif np.issubdtype(dt, np.integer):
+                info = np.iinfo(np.int32)
+                arr = rng.integers(info.min, info.max, shape).astype(dt)
+            else:
+                arr = (rng.standard_normal(shape) * 1e3).astype(dt)
+            batch[f"k{k}"] = arr
+        host, packed, spec = pack_batch(batch)
+        out = unpack_batch(jnp.asarray(packed), host, spec)
+        for k, arr in batch.items():
+            want = arr
+            if np.issubdtype(arr.dtype, np.integer):
+                want = arr.astype(np.int32)  # x64-disabled jax semantics
+            elif arr.dtype == np.float64:
+                want = arr.astype(np.float32)
+            np.testing.assert_array_equal(np.asarray(out[k]), want,
+                                          err_msg=f"trial {trial} key {k} "
+                                                  f"dtype {arr.dtype}")

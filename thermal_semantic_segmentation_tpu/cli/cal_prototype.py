@@ -43,9 +43,12 @@ def calc_prototype(args):
                         seed=args.seed)
 
     num_channels = 1 if args.net_mode == "one_channel" else 3
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
     model, _ = create_deeplab(jax.random.key(args.seed),
                               num_classes=args.num_classes,
-                              num_channels=num_channels, abstract=True)
+                              num_channels=num_channels, abstract=True,
+                              dtype=dtype)
     variables, _meta = load_seg_checkpoint(
         os.path.join(args.model_root_path, args.checkpoint_name))
 

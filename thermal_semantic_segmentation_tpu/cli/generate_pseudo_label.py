@@ -20,8 +20,10 @@ def main(argv=None):
 
     from ..models.deeplab import create_deeplab
     import jax
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
     model, _ = create_deeplab(jax.random.key(args.seed), num_classes=13,
-                              num_channels=1, abstract=True)
+                              num_channels=1, abstract=True, dtype=dtype)
     variables, _meta = load_seg_checkpoint(
         os.path.join(args.model_root_path, args.checkpoint_name))
 

@@ -57,9 +57,11 @@ def self_train_main(args, logger):
     val_loader = DataLoader(target_val_dataset, args.batch_size, shuffle=False,
                             drop_last=False, seed=args.seed + 2)
 
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
     model, variables = create_deeplab(jax.random.key(args.seed),
                                       num_classes=args.num_classes,
                                       num_channels=1, abstract=args.load_model,
+                                      dtype=dtype,
                                       remat=getattr(args, "remat", "none"))
     restart_epoch = 0
     if args.load_model:
@@ -108,8 +110,10 @@ def self_train_main(args, logger):
         progress = ProgressMeter(len(tgt_loader), [pseudo_loss, s_loss],
                                  prefix=f"Epoch: [{epoch}]")
         from ..data.device_pipeline import device_prefetch
-        # the self-train model computes in f32 (parity recipe): packed_bf16
-        # would silently truncate the soft pseudo-labels, so it downgrades
+        # packed_bf16 always downgrades here: even with --bf16 model compute,
+        # the soft pseudo-labels feed the f32 rectification math
+        # (train/self_train.py prototype_weights), so bf16-on-the-wire would
+        # change pseudo-label numerics.
         wire = resolve_wire(args, bf16_compute=False)
 
         def merged_batches():
