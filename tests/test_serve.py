@@ -1,0 +1,112 @@
+"""Inference server (cli/serve.py): micro-batching, HTTP surface, formats."""
+
+import io
+import json
+import threading
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from thermal_semantic_segmentation_tpu.cli.serve import (
+    InferenceServer, make_handler, preprocess)
+from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+
+TINY = dict(num_classes=13, num_channels=1, layers=(1, 1, 1, 1),
+            image_size=(64, 128))
+HW = (64, 128)
+
+
+def _png_bytes(arr, mode=None):
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode=mode).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server():
+    model, variables = create_deeplab(jax.random.key(0), **TINY)
+    srv = InferenceServer(model, variables, batch_size=4, max_wait_ms=30,
+                          label_hw=HW)
+    srv.warmup()
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_preprocess_u16_and_u8():
+    u16 = (np.random.default_rng(0).integers(21000, 26000, (40, 120))
+           .astype(np.uint16))
+    out = preprocess(_png_bytes(u16), HW)
+    assert out.shape == (*HW, 1) and out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    u8 = np.random.default_rng(1).integers(0, 255, (40, 120, 3)).astype(np.uint8)
+    out = preprocess(_png_bytes(u8), HW)
+    assert out.shape == (*HW, 1) and out.max() <= 1.0
+
+
+def test_micro_batching_coalesces(server):
+    """8 concurrent requests through a batch-4 server: every request gets a
+    correct-shape answer and the worker ran fewer batches than requests."""
+    u16 = (np.random.default_rng(2).integers(21000, 26000, (40, 120))
+           .astype(np.uint16))
+    payload = _png_bytes(u16)
+    before = server.batches_run
+    with ThreadPoolExecutor(8) as pool:
+        preds = list(pool.map(lambda _: server.segment(payload), range(8)))
+    for p in preds:
+        assert p.shape == HW and p.dtype == np.uint8
+        assert (0 <= p).all() and (p < 13).all()
+    ran = server.batches_run - before
+    assert 2 <= ran < 8  # coalesced (identical inputs -> identical preds)
+    np.testing.assert_array_equal(preds[0], preds[1])
+
+
+def test_http_surface(server):
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(server, {"checkpoint": "test"}))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["checkpoint"] == "test"
+
+        u16 = (np.random.default_rng(3).integers(21000, 26000, (40, 120))
+               .astype(np.uint16))
+        payload = _png_bytes(u16)
+
+        def post(path):
+            req = urllib.request.Request(f"{base}{path}", data=payload,
+                                         method="POST")
+            with urllib.request.urlopen(req) as r:
+                return r.headers.get("Content-Type"), r.read()
+
+        ctype, body = post("/segment")
+        assert ctype == "image/png"
+        assert Image.open(io.BytesIO(body)).size == (HW[1], HW[0])
+
+        ctype, body = post("/segment?format=ids")
+        ids = np.asarray(Image.open(io.BytesIO(body)))
+        assert ids.shape == HW and ids.max() < 13
+
+        ctype, body = post("/segment?format=json")
+        stats = json.loads(body)
+        assert stats["shape"] == list(HW)
+        assert sum(stats["class_counts"].values()) == HW[0] * HW[1]
+
+        # malformed input -> 400, not a hung request
+        req = urllib.request.Request(f"{base}/segment", data=b"not a png",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req)
+        assert err.value.code == 400
+    finally:
+        httpd.shutdown()

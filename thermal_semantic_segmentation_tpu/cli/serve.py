@@ -1,0 +1,272 @@
+"""Batch inference server for segmentation checkpoints.
+
+A deployment surface the reference lacks: load a checkpoint once, keep the
+jitted forward warm, and serve segmentation over HTTP with transparent
+micro-batching — concurrent requests are coalesced into fixed-size batches
+(padded, so the XLA program never recompiles) up to a latency budget.
+
+    python -m thermal_semantic_segmentation_tpu.cli.serve \
+        -checkpoint_name s.pth --port 8756 --bf16 true -batch_size 8
+
+Endpoints:
+  GET  /healthz            -> {"status": "ok", ...}
+  POST /segment            -> palette PNG of the predicted classes
+  POST /segment?format=ids -> 8-bit PNG of raw class ids
+  POST /segment?format=json-> {"class_counts": {...}, "shape": [H, W]}
+
+Input: PNG/JPEG bytes. 16-bit images get the Freiburg IR radiometric window
+(data/freiburg.py); 8-bit images are scaled to [0,1]. Everything is resized
+to the model's 256x512 protocol resolution (eval transform semantics).
+
+Stdlib only (ThreadingHTTPServer) — no web framework dependency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+HW = (256, 512)
+
+
+def preprocess(image_bytes: bytes, hw=HW) -> np.ndarray:
+    """Decode request bytes -> (H, W, 1) float32 in [0, 1].
+
+    16-bit input follows the Freiburg IR protocol (resize -> radiometric
+    window); 8-bit input (grayscale or RGB luminance) scales to [0, 1]."""
+    from PIL import Image
+
+    from ..data.freiburg import IR_MAX, IR_MIN
+
+    img = Image.open(io.BytesIO(image_bytes))
+    arr = np.asarray(img)
+    if arr.dtype == np.uint16:
+        arr = np.asarray(img.resize((hw[1], hw[0]), Image.BICUBIC),
+                         dtype=np.float32)
+        arr = (np.clip(arr, IR_MIN, IR_MAX) - IR_MIN) / (IR_MAX - IR_MIN)
+    else:
+        if arr.ndim == 3:
+            img = img.convert("L")
+        arr = np.asarray(img.resize((hw[1], hw[0]), Image.BICUBIC),
+                         dtype=np.float32) / 255.0
+    return arr[..., None]
+
+
+class InferenceServer:
+    """Micro-batching wrapper around a jitted argmax forward.
+
+    Requests enqueue (array, Future); a single worker thread drains up to
+    ``batch_size`` of them (waiting at most ``max_wait_ms`` for stragglers
+    after the first), pads the tail to the fixed batch shape, and runs ONE
+    device step — XLA compiles exactly one program shape."""
+
+    def __init__(self, model, variables, *, batch_size: int = 8,
+                 max_wait_ms: float = 10.0, label_hw=HW,
+                 wire_bf16: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        from ..data.wire import PackedFeed
+        from ..ops.resize import upsample_logits
+
+        self.batch_size = batch_size
+        self.max_wait = max_wait_ms / 1e3
+        self.label_hw = label_hw
+        # bf16-compute models can ship request pixels as bf16 losslessly
+        # (the model casts at entry anyway) — half the host->device bytes
+        self._feed = PackedFeed(float_wire="bfloat16" if wire_bf16 else None)
+
+        @jax.jit
+        def predict(variables, images):
+            out = model.apply(variables, images, train=False)
+            logits = upsample_logits(out["out"], *label_hw)
+            # uint8 ids: 4x fewer bytes on the device->host fetch
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        self._predict = predict
+        # params live on device for the server's lifetime — passing host
+        # numpy into the jit would re-upload every weight on every batch
+        self._variables = jax.device_put(variables)
+        self._queue: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self.batches_run = 0
+        self.requests_served = 0
+
+    def warmup(self):
+        zero = np.zeros((self.batch_size, *self.label_hw, 1), np.float32)
+        np.asarray(self._predict(self._variables, zero))
+
+    def start(self):
+        self._worker.start()
+
+    def stop(self):
+        self._stop.set()
+        self._queue.put(None)
+        self._worker.join(timeout=5)
+
+    def submit(self, arr: np.ndarray) -> "queue.Queue":
+        """Enqueue one (H, W, 1) image; returns a single-item result queue."""
+        out: queue.Queue = queue.Queue(maxsize=1)
+        self._queue.put((arr, out))
+        return out
+
+    def segment(self, image_bytes: bytes) -> np.ndarray:
+        """Blocking helper: bytes in, (H, W) uint8 class ids out."""
+        result = self.submit(preprocess(image_bytes, self.label_hw)).get()
+        if isinstance(result, Exception):
+            raise result
+        return result
+
+    def _run(self):
+        import time
+        while not self._stop.is_set():
+            item = self._queue.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._stop.set()
+                    break
+                batch.append(nxt)
+            try:
+                images = np.stack([b[0] for b in batch])
+                pad = self.batch_size - len(batch)
+                if pad:
+                    images = np.concatenate(
+                        [images, np.zeros((pad, *images.shape[1:]),
+                                          images.dtype)])
+                images = self._feed.put({"images": images})["images"]
+                preds = np.asarray(self._predict(self._variables, images))
+                self.batches_run += 1
+                for (_, out), pred in zip(batch, preds):
+                    out.put(pred)
+                    self.requests_served += 1
+            except Exception as e:  # deliver the failure to every waiter
+                for _, out in batch:
+                    out.put(e)
+
+
+def make_handler(server: InferenceServer, model_info: dict):
+    from ..data.palette import colorize_prediction, freiburg_palette
+
+    palette = freiburg_palette()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.split("?")[0] == "/healthz":
+                info = dict(model_info, status="ok",
+                            batches_run=server.batches_run,
+                            requests_served=server.requests_served)
+                self._send(200, json.dumps(info).encode(), "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            path, _, query = self.path.partition("?")
+            if path != "/segment":
+                self._send(404, b"not found", "text/plain")
+                return
+            fmt = "palette"
+            for part in query.split("&"):
+                if part.startswith("format="):
+                    fmt = part.split("=", 1)[1]
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                pred = server.segment(self.rfile.read(length))
+            except Exception as e:
+                self._send(400, f"bad request: {e}".encode(), "text/plain")
+                return
+            if fmt == "json":
+                ids, counts = np.unique(pred, return_counts=True)
+                body = json.dumps({
+                    "class_counts": {int(i): int(c)
+                                     for i, c in zip(ids, counts)},
+                    "shape": list(pred.shape)}).encode()
+                self._send(200, body, "application/json")
+                return
+            from PIL import Image
+            buf = io.BytesIO()
+            if fmt == "ids":
+                Image.fromarray(pred.astype(np.uint8), mode="L").save(
+                    buf, format="PNG")
+            else:
+                colorize_prediction(pred, palette).save(buf, format="PNG")
+            self._send(200, buf.getvalue(), "image/png")
+
+    return Handler
+
+
+def serve_parse():
+    from .options import HostConfigParser, _add_roots, str2bool
+    parser = HostConfigParser(description="segmentation inference server")
+    parser.add_argument("-checkpoint_name", type=str,
+                        default="256_freiburg_segmentation.pth")
+    parser.add_argument("-net_mode", type=str, default="one_channel")
+    parser.add_argument("-num_classes", type=int, default=13)
+    parser.add_argument("-batch_size", type=int, default=8)
+    parser.add_argument("--max_wait_ms", type=float, default=10.0,
+                        help="micro-batching latency budget after the first "
+                             "request of a batch arrives.")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8756)
+    _add_roots(parser)
+    return parser
+
+
+def main(argv=None):
+    import os
+
+    import jax.numpy as jnp
+
+    from ._common import build_deeplab, load_seg_checkpoint
+
+    args = serve_parse().parse_args(argv)
+    model, _ = build_deeplab(args, abstract=True)  # --bf16 sets compute dtype
+    variables, meta = load_seg_checkpoint(
+        os.path.join(args.model_root_path, args.checkpoint_name))
+    server = InferenceServer(model, variables, batch_size=args.batch_size,
+                             max_wait_ms=args.max_wait_ms,
+                             wire_bf16=bool(getattr(args, "bf16", False)))
+    print("compiling...", flush=True)
+    server.warmup()
+    server.start()
+    info = {"checkpoint": args.checkpoint_name, "batch_size": args.batch_size,
+            "bf16": bool(getattr(args, "bf16", False))}
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(server, info))
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(batch {args.batch_size}, wait {args.max_wait_ms} ms)", flush=True)
+    try:
+        httpd.serve_forever()
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()
