@@ -63,7 +63,10 @@ def translate(args):
 
     denorm = np.asarray(args.denormalize, np.float32)
     save_wh = (args.save_image_size[1], args.save_image_size[0])
-    for batch in loader:
+    from ..data.device_pipeline import device_prefetch
+    from ._common import resolve_wire
+    for batch in device_prefetch(iter(loader),
+                                 wire=resolve_wire(args)):
         # datasets in translation mode return the destination path per image
         paths = batch.get("img_path")
         image = jnp.asarray(batch["image"])

@@ -17,11 +17,13 @@ def _pair_metrics(ori, trans):
     return l1, ssim(ori, trans, data_range=1.0)
 
 
-def evaluate_distance(loader):
+def evaluate_distance(loader, *, wire: str | None = "packed"):
     """Returns (avg_l1, avg_ssim) over the loader."""
+    from ..data.device_pipeline import device_prefetch
+
     distances = AverageMeter("distance", ":3.4f")
     ssim_scores = []
-    for batch in loader:
+    for batch in device_prefetch(iter(loader), wire=wire):
         ori = jnp.asarray(batch["original"])
         trans = jnp.asarray(batch["translated"])
         l1, s = _pair_metrics(ori, trans)

@@ -52,7 +52,8 @@ def make_pseudo_fns(model):
 def generate_pseudo_labels(model, variables, loader, *, save_path: str,
                            soft: bool = False, flip: bool = False,
                            max_steps: int = 0, writer_threads: int = 8,
-                           native_encode: bool = False):
+                           native_encode: bool = False,
+                           wire: str | None = "packed"):
     """Run inference over the loader and write pseudo-label artifacts.
 
     soft: per-image full softmax .npy (channel-first (C, h, w) to match the
@@ -81,10 +82,12 @@ def generate_pseudo_labels(model, variables, loader, *, save_path: str,
         np.save(os.path.join(save_path, name.replace(".png", "_conf.npy")),
                 conf.astype(np.float16))
 
+    from ..data.device_pipeline import device_prefetch
+
     n_written = 0
     with cf.ThreadPoolExecutor(max_workers=writer_threads) as pool:
         futures = []
-        for i, batch in enumerate(loader):
+        for i, batch in enumerate(device_prefetch(iter(loader), wire=wire)):
             if max_steps and i >= max_steps:
                 break
             images = jnp.asarray(batch["image"])
