@@ -53,3 +53,49 @@ def test_str2bool_fixes_reference_trap():
     assert a.data_split is False
     a = seg_parse().parse_args(["-data_split", "true"])
     assert a.data_split is True
+
+
+def test_every_reference_flag_is_accepted():
+    """Scrape each reference parser's add_argument flag names from
+    /root/reference/options.py (and the inline parsers in
+    self_train_main.py / generate_pseudo_label.py) and assert our matching
+    parser accepts every one — a command line written for the reference
+    must never hit 'unrecognized arguments' here."""
+    import re
+
+    from thermal_semantic_segmentation_tpu.cli import options as opts
+
+    src = open("/root/reference/options.py").read()
+    funcs = re.split(r"\ndef (\w+)\(\):", src)
+    ref = {}
+    for name, body in zip(funcs[1::2], funcs[2::2]):
+        ref[name] = re.findall(
+            r"^\s*parser\.add_argument\(\s*'(-{1,2}[\w]+)'", body, re.M)
+    inline = {}
+    for fname, key in (("self_train_main.py", "self_train_parse"),
+                       ("generate_pseudo_label.py", "pseudo_generation_parse")):
+        body = open(f"/root/reference/{fname}").read()
+        inline[key] = re.findall(
+            r"^\s*parser\.add_argument\(\s*'(-{1,2}[\w]+)'", body, re.M)
+
+    pairs = {
+        "train_parse": opts.train_parse,
+        "translation_parse": opts.translation_parse,
+        "seg_parse": opts.seg_parse,
+        "evaluation_parse": opts.evaluation_parse,
+        "calc_proto_parse": opts.calc_proto_parse,
+        "pseudo_generation_parse": opts.pseudo_generation_parse,
+    }
+    assert set(pairs) == set(ref), f"parser set drifted: {set(ref)}"
+    missing = []
+    for name, factory in pairs.items():
+        accepted = set(factory()._option_string_actions)
+        for flag in ref.get(name, []):
+            if flag not in accepted:
+                missing.append(f"{name}: {flag}")
+    for key, flags in inline.items():
+        accepted = set(getattr(opts, key)()._option_string_actions)
+        for flag in flags:
+            if flag not in accepted:
+                missing.append(f"{key}: {flag}")
+    assert not missing, f"reference flags not accepted: {missing}"
