@@ -44,10 +44,35 @@ def test_preprocess_u16_and_u8():
            .astype(np.uint16))
     out = preprocess(_png_bytes(u16), HW)
     assert out.shape == (*HW, 1) and out.dtype == np.float32
-    assert 0.0 <= out.min() and out.max() <= 1.0
+    # BICUBIC ringing may overshoot [0,1] slightly — exactly as the real
+    # eval path (load_ir_image -> Resize) does; assert the window held
+    assert -0.3 <= out.min() and out.max() <= 1.3
     u8 = np.random.default_rng(1).integers(0, 255, (40, 120, 3)).astype(np.uint8)
     out = preprocess(_png_bytes(u8), HW)
     assert out.shape == (*HW, 1) and out.max() <= 1.0
+
+
+def test_preprocess_matches_eval_protocol():
+    """16-bit requests must go through the SAME geometry as training/eval:
+    resize (960,320) -> column crop 150:850 -> window -> resize to hw."""
+    from PIL import Image
+    from thermal_semantic_segmentation_tpu.data.freiburg import load_ir_image
+
+    u16 = (np.random.default_rng(4).integers(21000, 26000, (320, 960))
+           .astype(np.uint16))
+    payload = _png_bytes(u16)
+    got = preprocess(payload, HW)
+    want_img = load_ir_image(io.BytesIO(payload))
+    want = np.asarray(want_img.resize((HW[1], HW[0]), Image.BICUBIC),
+                      dtype=np.float32)[..., None]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_preprocess_rejects_channel_mismatch():
+    u16 = (np.random.default_rng(5).integers(21000, 26000, (40, 120))
+           .astype(np.uint16))
+    with pytest.raises(ValueError, match="channel"):
+        preprocess(_png_bytes(u16), HW, channels=3)
 
 
 def test_micro_batching_coalesces(server):

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 
-import jax
 import numpy as np
 
 from ..core.checkpoint import save_checkpoint
@@ -19,7 +18,6 @@ from ..data import transforms as T
 from ..data.freiburg import Freiburg
 from ..data.loader import DataLoader
 from ..data.simple import FlirTrain
-from ..models.deeplab import create_deeplab
 from ..train.prototypes import calc_prototypes
 from ._common import load_seg_checkpoint
 from .options import calc_proto_parse
@@ -42,20 +40,16 @@ def calc_prototype(args):
     loader = DataLoader(dataset, args.batch_size, shuffle=True, drop_last=True,
                         seed=args.seed)
 
-    num_channels = 1 if args.net_mode == "one_channel" else 3
-    import jax.numpy as jnp
-    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
-    model, _ = create_deeplab(jax.random.key(args.seed),
-                              num_classes=args.num_classes,
-                              num_channels=num_channels, abstract=True,
-                              dtype=dtype)
+    from ._common import build_deeplab, resolve_wire
+    model, _ = build_deeplab(args, abstract=True)
     variables, _meta = load_seg_checkpoint(
         os.path.join(args.model_root_path, args.checkpoint_name))
 
     prototypes, counts = calc_prototypes(model, variables, loader,
                                          num_classes=args.num_classes,
                                          epochs=args.epochs,
-                                         max_steps=args.max_steps)
+                                         max_steps=args.max_steps,
+                                         wire=resolve_wire(args))
     out_path = prototype_path(args.root, args.dataset, args.checkpoint_name)
     print("saving prototypes......")
     save_checkpoint(out_path, {"objective_vectors": np.asarray(prototypes),

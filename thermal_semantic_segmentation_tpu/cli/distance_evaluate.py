@@ -21,7 +21,10 @@ def main(argv=None):
     _, val_idx = split_indices(len(dataset), 0.2, seed=42)
     loader = DataLoader(dataset, min(args.batch_size, max(len(val_idx), 1)),
                         shuffle=True, indices=val_idx, drop_last=True)
-    avg_l1, avg_ssim = evaluate_distance(loader)
+    from ._common import resolve_wire
+    # SSIM/L1 run in f32 regardless of --bf16: never bf16 the wire here
+    avg_l1, avg_ssim = evaluate_distance(
+        loader, wire=resolve_wire(args, bf16_compute=False))
     print("Model: " + args.checkpoint_name.replace(".pth", ""))
     print("L1 distance: " + str(avg_l1))
     print("SSIM score: " + str(avg_ssim))

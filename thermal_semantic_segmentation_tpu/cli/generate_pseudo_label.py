@@ -18,12 +18,8 @@ def main(argv=None):
     args.net_mode = "one_channel"
     args.num_classes = 13
 
-    from ..models.deeplab import create_deeplab
-    import jax
-    import jax.numpy as jnp
-    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
-    model, _ = create_deeplab(jax.random.key(args.seed), num_classes=13,
-                              num_channels=1, abstract=True, dtype=dtype)
+    from ._common import build_deeplab, resolve_wire
+    model, _ = build_deeplab(args, abstract=True)
     variables, _meta = load_seg_checkpoint(
         os.path.join(args.model_root_path, args.checkpoint_name))
 
@@ -36,7 +32,8 @@ def main(argv=None):
                                soft=args.soft, flip=args.flip,
                                max_steps=args.max_steps,
                                native_encode=getattr(args, "native_encode",
-                                                     False))
+                                                     False),
+                               wire=resolve_wire(args))
     print(f"wrote pseudo labels for {n} images to {save_path}")
 
 

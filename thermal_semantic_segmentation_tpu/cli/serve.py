@@ -35,27 +35,40 @@ import numpy as np
 HW = (256, 512)
 
 
-def preprocess(image_bytes: bytes, hw=HW) -> np.ndarray:
-    """Decode request bytes -> (H, W, 1) float32 in [0, 1].
+class InferenceError(RuntimeError):
+    """A server-side (device/model) failure — maps to HTTP 500, while
+    request decode/preprocess errors stay 400."""
 
-    16-bit input follows the Freiburg IR protocol (resize -> radiometric
-    window); 8-bit input (grayscale or RGB luminance) scales to [0, 1]."""
+
+def preprocess(image_bytes: bytes, hw=HW, channels: int = 1) -> np.ndarray:
+    """Decode request bytes -> (H, W, channels) float32 in [0, 1].
+
+    16-bit input follows the FULL Freiburg IR protocol (data/freiburg.py
+    load_ir_image: resize to RAW_SIZE (960,320) BICUBIC -> column crop
+    150:850 -> radiometric window, then the eval Resize to ``hw``); 8-bit
+    input (grayscale or RGB) scales to [0, 1]."""
     from PIL import Image
 
-    from ..data.freiburg import IR_MAX, IR_MIN
+    from ..data.freiburg import load_ir_image
 
     img = Image.open(io.BytesIO(image_bytes))
     arr = np.asarray(img)
     if arr.dtype == np.uint16:
-        arr = np.asarray(img.resize((hw[1], hw[0]), Image.BICUBIC),
-                         dtype=np.float32)
-        arr = (np.clip(arr, IR_MIN, IR_MAX) - IR_MIN) / (IR_MAX - IR_MIN)
+        # route through the canonical loader so served pixels match the
+        # geometry/statistics the checkpoint was trained on
+        windowed = load_ir_image(io.BytesIO(image_bytes))
+        arr = np.asarray(windowed.resize((hw[1], hw[0]), Image.BICUBIC),
+                         dtype=np.float32)[..., None]
     else:
-        if arr.ndim == 3:
-            img = img.convert("L")
+        img = img.convert("RGB" if channels == 3 else "L")
         arr = np.asarray(img.resize((hw[1], hw[0]), Image.BICUBIC),
                          dtype=np.float32) / 255.0
-    return arr[..., None]
+        if arr.ndim == 2:
+            arr = arr[..., None]
+    if arr.shape[-1] != channels:
+        raise ValueError(f"expected {channels}-channel input, got "
+                         f"{arr.shape[-1]} (16-bit IR is 1-channel)")
+    return arr
 
 
 class InferenceServer:
@@ -68,7 +81,7 @@ class InferenceServer:
 
     def __init__(self, model, variables, *, batch_size: int = 8,
                  max_wait_ms: float = 10.0, label_hw=HW,
-                 wire_bf16: bool = False):
+                 wire_bf16: bool = False, channels: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -78,6 +91,7 @@ class InferenceServer:
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1e3
         self.label_hw = label_hw
+        self.channels = channels
         # bf16-compute models can ship request pixels as bf16 losslessly
         # (the model casts at entry anyway) — half the host->device bytes
         self._feed = PackedFeed(float_wire="bfloat16" if wire_bf16 else None)
@@ -100,7 +114,8 @@ class InferenceServer:
         self.requests_served = 0
 
     def warmup(self):
-        zero = np.zeros((self.batch_size, *self.label_hw, 1), np.float32)
+        zero = np.zeros((self.batch_size, *self.label_hw, self.channels),
+                        np.float32)
         np.asarray(self._predict(self._variables, zero))
 
     def start(self):
@@ -119,9 +134,10 @@ class InferenceServer:
 
     def segment(self, image_bytes: bytes) -> np.ndarray:
         """Blocking helper: bytes in, (H, W) uint8 class ids out."""
-        result = self.submit(preprocess(image_bytes, self.label_hw)).get()
+        result = self.submit(
+            preprocess(image_bytes, self.label_hw, self.channels)).get()
         if isinstance(result, Exception):
-            raise result
+            raise InferenceError(str(result))
         return result
 
     def _run(self):
@@ -199,6 +215,9 @@ def make_handler(server: InferenceServer, model_info: dict):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 pred = server.segment(self.rfile.read(length))
+            except InferenceError as e:
+                self._send(500, f"inference failed: {e}".encode(), "text/plain")
+                return
             except Exception as e:
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
                 return
@@ -242,8 +261,6 @@ def serve_parse():
 def main(argv=None):
     import os
 
-    import jax.numpy as jnp
-
     from ._common import build_deeplab, load_seg_checkpoint
 
     args = serve_parse().parse_args(argv)
@@ -252,7 +269,8 @@ def main(argv=None):
         os.path.join(args.model_root_path, args.checkpoint_name))
     server = InferenceServer(model, variables, batch_size=args.batch_size,
                              max_wait_ms=args.max_wait_ms,
-                             wire_bf16=bool(getattr(args, "bf16", False)))
+                             wire_bf16=bool(getattr(args, "bf16", False)),
+                             channels=1 if args.net_mode == "one_channel" else 3)
     print("compiling...", flush=True)
     server.warmup()
     server.start()

@@ -44,7 +44,10 @@ def translate(args):
 
     loader = DataLoader(dataset, args.batch_size, shuffle=False, drop_last=False)
 
-    model = unet_256(ngf=64, input_nc=args.input_nc, output_nc=args.output_nc)
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+    model = unet_256(ngf=64, input_nc=args.input_nc, output_nc=args.output_nc,
+                     dtype=dtype)
     variables = init_gan_net(model, jax.random.key(0),
                              (1, 256, 512, args.input_nc))
     ckpt = load_checkpoint(os.path.join(args.gan_model_root_path,

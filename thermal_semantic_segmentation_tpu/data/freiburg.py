@@ -44,6 +44,8 @@ def load_ir_image(path: str) -> Image.Image:
         image = np.clip(image, IR_MIN, IR_MAX)
         return (image - IR_MIN) / (IR_MAX - IR_MIN)
 
+    if not isinstance(path, str):          # file-like (e.g. cli/serve.py):
+        return Image.fromarray(decode())   # no stable cache key — skip cache
     from .cache import decode_cache
     return Image.fromarray(decode_cache().get_or_decode(("ir", path), decode))
 
