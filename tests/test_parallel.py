@@ -202,3 +202,28 @@ def test_per_replica_bn_single_device_equals_sync():
     a, b = jax.tree.leaves(stats["sync"]), jax.tree.leaves(stats["per_replica"])
     for x, y in zip(a, b):
         np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-7)
+
+
+def test_grad_accum_composes_with_per_replica_bn():
+    """grad_accum microbatching runs inside the shard_map per-replica step:
+    each replica scans its LOCAL microbatches, grads pmean after. One step
+    must run, produce a finite loss, and keep params replicated."""
+    from thermal_semantic_segmentation_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    model, variables = create_deeplab(jax.random.key(4), num_classes=13,
+                                      num_channels=1, layers=(1, 1, 1, 1),
+                                      image_size=(64, 128))
+    state = replicate(mesh, create_seg_state(model, variables,
+                                             learning_rate=1e-3))
+    step = make_seg_train_step(ignore_index=12, label_hw=(64, 128),
+                               base_lr=1e-3, bn_mode="per_replica", mesh=mesh,
+                               grad_accum=2)
+    rng = np.random.default_rng(5)
+    image = rng.uniform(0, 1, (16, 64, 128, 1)).astype(np.float32)
+    label = rng.integers(0, 13, (16, 64, 128))
+    sharded = shard_batch(mesh, (jnp.asarray(image), jnp.asarray(label)))
+    state, loss = step(state, *sharded)
+    assert np.isfinite(float(loss))
+    assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
+    assert int(state.step) == 1
