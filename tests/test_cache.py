@@ -63,6 +63,73 @@ def test_cli_flag_sets_global_cache():
         set_decode_cache(0)
 
 
+def test_disk_tier_survives_fresh_cache(tmp_path):
+    """A new DecodeCache instance (= a fresh process) must serve from the
+    disk tier without re-decoding — the cold-start/epoch-1 fix."""
+    disk = str(tmp_path / "decoded")
+    calls = []
+
+    def decode():
+        calls.append(1)
+        return np.arange(48, dtype=np.float32).reshape(6, 8)
+
+    c1 = DecodeCache(max_bytes=1 << 20, disk_dir=disk)
+    first = c1.get_or_decode(("ir", "/data/x.png"), decode)
+    assert len(calls) == 1
+    # fresh instance, same disk dir: decode must NOT run again
+    c2 = DecodeCache(max_bytes=1 << 20, disk_dir=disk)
+    second = c2.get_or_decode(("ir", "/data/x.png"), decode)
+    assert len(calls) == 1 and c2.disk_hits == 1
+    np.testing.assert_array_equal(first, second)
+    # disk-only mode (no RAM tier) also works
+    c3 = DecodeCache(max_bytes=0, disk_dir=disk)
+    third = c3.get_or_decode(("ir", "/data/x.png"), decode)
+    assert len(calls) == 1 and c3.disk_hits == 1
+    np.testing.assert_array_equal(first, third)
+    # distinct keys get distinct files
+    c3.get_or_decode(("ir", "/data/y.png"), decode)
+    assert len(calls) == 2
+    import os
+    assert len(os.listdir(disk)) == 2
+
+
+def test_disk_tier_end_to_end_loader_parity(tmp_path):
+    """Freiburg loader through the disk tier: pixels identical to the
+    uncached path in a 'fresh process' (new global config, empty RAM)."""
+    from tests.synthetic import make_freiburg_tree
+    from thermal_semantic_segmentation_tpu.cli._common import val_transform
+    from thermal_semantic_segmentation_tpu.data.freiburg import Freiburg
+
+    root = make_freiburg_tree(str(tmp_path / "freiburg"), n_train=2)
+    disk = str(tmp_path / "decoded")
+    ds = Freiburg(root, "train", "IR", transforms=val_transform(),
+                  with_label=True)
+    cold = ds.get(0, np.random.default_rng(1))
+    try:
+        set_decode_cache(0, disk_dir=disk)          # disk-only tier
+        warm_write = ds.get(0, np.random.default_rng(1))
+        set_decode_cache(0, disk_dir=None)
+        set_decode_cache(0, disk_dir=disk)          # simulate fresh process
+        base_hits = decode_cache().disk_hits
+        warm_read = ds.get(0, np.random.default_rng(1))
+        assert decode_cache().disk_hits > base_hits
+        np.testing.assert_array_equal(cold["image"], warm_write["image"])
+        np.testing.assert_array_equal(cold["image"], warm_read["image"])
+        np.testing.assert_array_equal(cold["label"], warm_read["label"])
+    finally:
+        set_decode_cache(0, disk_dir=None)
+
+
+def test_cli_flag_sets_disk_tier(tmp_path):
+    from thermal_semantic_segmentation_tpu.cli.options import seg_parse
+    disk = str(tmp_path / "dc")
+    try:
+        seg_parse().parse_args(["--decode_cache_dir", disk])
+        assert decode_cache().disk_dir == disk
+    finally:
+        set_decode_cache(0, disk_dir=None)
+
+
 def test_resize_shrink_evicts_immediately():
     cache = DecodeCache(max_bytes=10000)
     for i in range(8):

@@ -23,9 +23,10 @@ class HostConfigParser(argparse.ArgumentParser):
     def parse_args(self, *a, **kw):  # type: ignore[override]
         args = super().parse_args(*a, **kw)
         mb = getattr(args, "decode_cache_mb", 0.0)
-        if mb:
+        disk = getattr(args, "decode_cache_dir", None)
+        if mb or disk:
             from ..data.cache import set_decode_cache
-            set_decode_cache(mb)
+            set_decode_cache(mb, disk_dir=disk or None)
         return args
 
 
@@ -68,6 +69,12 @@ def _add_roots(parser: argparse.ArgumentParser):
                         help='in-RAM LRU for decoded frames (data/cache.py); '
                              'epoch 2+ skips PNG decode entirely. ~12000 '
                              'caches the full Freiburg train split. 0 = off.')
+    parser.add_argument('--decode_cache_dir', type=str, default='',
+                        help='disk tier for the decode cache: decoded frames '
+                             'persist as .npy under this dir, so a FRESH '
+                             'process/epoch-1 loads at the warm-RAM rate '
+                             '(no PNG decode). Unbounded; delete the dir to '
+                             'invalidate. Empty = off.')
     parser.add_argument('--remat', type=str, default='none',
                         choices=['none', 'dots', 'full'],
                         help='backbone rematerialization: none (fastest; '
@@ -76,6 +83,13 @@ def _add_roots(parser: argparse.ArgumentParser):
                              'elides those residuals), full (save only block '
                              'boundaries — 2.2x lower peak HBM for ~15%% '
                              'throughput; large-batch/high-res training).')
+    parser.add_argument('--layers', type=lambda s: tuple(
+                            int(x) for x in s.split(',')),
+                        default=(3, 4, 23, 3),
+                        help='ResNet backbone block counts, comma-separated '
+                             '(default 3,4,23,3 = ResNet-101). Small configs '
+                             '(e.g. 1,1,1,1) drive the synthetic convergence '
+                             'gate and smoke recipes.')
     parser.add_argument('--seed', type=int, default=0)
 
 

@@ -38,18 +38,33 @@ import numpy as np
 _ALIGN = 4  # pad each leaf's per-sample segment so 4-byte bitcasts stay legal
 
 
-def _wire_dtype(arr: np.ndarray, float_wire: Optional[str]):
-    """(wire numpy dtype, restore jnp dtype name) for one leaf."""
+_INT_WIDTH_ORDER = ("uint8", "int16", "int32")
+
+
+def _wire_dtype(arr: np.ndarray, float_wire: Optional[str],
+                min_int: Optional[str] = None):
+    """(wire numpy dtype, restore jnp dtype name) for one leaf.
+
+    ``min_int``: floor for the integer wire width (one of _INT_WIDTH_ORDER).
+    Integer narrowing is value-dependent per batch, so callers that want a
+    STABLE spec across batches (one jitted unpack compile) thread a width
+    memo through this floor — see PackedFeed.
+    """
     if arr.dtype == np.bool_:
         return np.dtype(np.uint8), "bool"
     if np.issubdtype(arr.dtype, np.integer):
         lo = int(arr.min()) if arr.size else 0
         hi = int(arr.max()) if arr.size else 0
         if 0 <= lo and hi <= 255:
-            return np.dtype(np.uint8), "int32"
-        if -32768 <= lo and hi <= 32767:
-            return np.dtype(np.int16), "int32"
-        return np.dtype(np.int32), "int32"
+            name = "uint8"
+        elif -32768 <= lo and hi <= 32767:
+            name = "int16"
+        else:
+            name = "int32"
+        if min_int is not None and (_INT_WIDTH_ORDER.index(min_int)
+                                    > _INT_WIDTH_ORDER.index(name)):
+            name = min_int
+        return np.dtype(name), "int32"
     if arr.dtype == np.float64:
         arr_dtype = np.dtype(np.float32)
     else:
@@ -60,14 +75,18 @@ def _wire_dtype(arr: np.ndarray, float_wire: Optional[str]):
     return np.dtype(arr_dtype), np.dtype(arr_dtype).name
 
 
-def pack_batch(batch: Dict[str, Any], *, float_wire: Optional[str] = None
+def pack_batch(batch: Dict[str, Any], *, float_wire: Optional[str] = None,
+               width_memo: Optional[Dict[int, str]] = None
                ) -> Tuple[list, np.ndarray, Tuple]:
     """Split ``batch`` into (host_leaves, packed uint8 (B, S) buffer, spec).
 
     host_leaves keeps non-array entries (paths, strings) untouched, in tree
-    order. spec is hashable and identical across batches of the same
-    shapes/dtypes, so the matching jitted unpack compiles once.
-    """
+    order. Integer leaves are narrowed by their per-batch value range, so the
+    spec of a bare pack_batch call can differ between batches whose values
+    straddle a width boundary; pass ``width_memo`` (a mutable dict keyed by
+    array-leaf position, as PackedFeed does) to pin each leaf's width to the
+    widest ever seen — then the spec changes at most twice per leaf over a
+    run and the matching jitted unpack stops retracing."""
     leaves, treedef = jax.tree.flatten(batch)
     arrays, host, mask = [], [], []
     for leaf in leaves:
@@ -84,11 +103,14 @@ def pack_batch(batch: Dict[str, Any], *, float_wire: Optional[str] = None
         return host, np.zeros((0, 0), np.uint8), (treedef, tuple(mask), ())
     b = arrays[0].shape[0]
     segs, entries, off = [], [], 0
-    for arr in arrays:
+    for pos, arr in enumerate(arrays):
         if arr.shape[0] != b:
             raise ValueError(
                 f"pack_batch: leading dims differ ({arr.shape[0]} vs {b})")
-        wire, restore = _wire_dtype(arr, float_wire)
+        floor = width_memo.get(pos) if width_memo is not None else None
+        wire, restore = _wire_dtype(arr, float_wire, min_int=floor)
+        if width_memo is not None and restore == "int32":
+            width_memo[pos] = wire.name
         flat = np.ascontiguousarray(arr.astype(wire, copy=False)
                                     ).reshape(b, -1).view(np.uint8)
         pad = (-flat.shape[1]) % _ALIGN
@@ -147,10 +169,15 @@ class PackedFeed:
         from ..parallel.mesh import batch_sharding
         self.sharding = batch_sharding(mesh) if mesh is not None else None
         self.float_wire = float_wire
+        # pins each int leaf's wire width to the widest seen, so a batch whose
+        # values straddle a width boundary can't flip the spec back and forth
+        # (bounded retraces; see pack_batch docstring)
+        self._width_memo: Dict[int, str] = {}
 
     def put(self, batch: Dict[str, Any]):
         host_leaves, packed, spec = pack_batch(batch,
-                                               float_wire=self.float_wire)
+                                               float_wire=self.float_wire,
+                                               width_memo=self._width_memo)
         if packed.size == 0:
             return batch
         dev = (jax.device_put(packed, self.sharding)

@@ -53,7 +53,12 @@ Image decode_png(const char* path) {
   FILE* fp = fopen(path, "rb");
   if (!fp) return img;
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
-  png_infop info = png_create_info_struct(png);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info) {  // allocation failure: don't touch png_jmpbuf(NULL)
+    if (png) png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return img;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
@@ -316,7 +321,12 @@ bool encode_png(const char* path, const uint8_t* pixels, int w, int h, int c) {
   FILE* fp = fopen(path, "wb");
   if (!fp) return false;
   png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
-  png_infop info = png_create_info_struct(png);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info) {  // allocation failure: don't touch png_jmpbuf(NULL)
+    if (png) png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return false;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_write_struct(&png, &info);
     fclose(fp);
@@ -343,7 +353,12 @@ bool encode_png_pal8(const char* path, const uint8_t* pixels, int w, int h,
   FILE* fp = fopen(path, "wb");
   if (!fp) return false;
   png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
-  png_infop info = png_create_info_struct(png);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info) {  // allocation failure: don't touch png_jmpbuf(NULL)
+    if (png) png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return false;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_write_struct(&png, &info);
     fclose(fp);

@@ -177,17 +177,16 @@ def make_seg_train_step(*, ignore_index: int, label_hw: Tuple[int, int] = (256, 
         return new_state, loss
 
     if bn_mode == "per_replica":
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         from ..parallel.mesh import DATA_AXIS
 
         if mesh is None:
             raise ValueError("bn_mode='per_replica' requires a mesh")
-        fn = shard_map(
+        fn = jax.shard_map(
             functools.partial(step_core, axis=DATA_AXIS), mesh=mesh,
             in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(), P()), check_rep=False)
+            out_specs=(P(), P()), check_vma=False)
         return jax.jit(fn, donate_argnums=0)
     if bn_mode != "sync":
         raise ValueError(f"unknown bn_mode {bn_mode!r}")
