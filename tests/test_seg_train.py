@@ -268,6 +268,43 @@ def test_grad_accum_matches_sequential_microbatches(tiny_model):
         a, np.asarray(b), rtol=2e-5, atol=1e-7), got_params, want_params)
 
 
+def test_freeze_bn_pins_affine_params_but_not_stats():
+    """freeze_bn=True (reference Deeplab factory arg, deeplabv2.py:356):
+    BN scale/bias must stay bit-identical across train steps while other
+    params move AND batch stats keep updating — the reference's
+    freeze_bn_func only sets requires_grad=False on BN weight/bias
+    (deeplabv2.py:349-354); it never calls m.eval()."""
+    from thermal_semantic_segmentation_tpu.models.deeplab import bn_param_mask
+
+    model, variables = create_deeplab(jax.random.key(0), freeze_bn=True, **TINY)
+    mask = bn_param_mask(variables["params"], variables["batch_stats"])
+    assert any(jax.tree.leaves(mask)) and not all(jax.tree.leaves(mask))
+    before_params = jax.tree.map(np.asarray, variables["params"])
+    before_stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    state = create_seg_state(model, variables, learning_rate=5e-3)
+    step = make_seg_train_step(ignore_index=12, label_hw=LABEL_HW, base_lr=5e-3)
+    image, label = _batch()
+    for _ in range(3):
+        state, _ = step(state, image, label)
+
+    moved = []
+    for (path, after), (_, before), (_, frozen) in zip(
+            jax.tree_util.tree_leaves_with_path(state.params),
+            jax.tree_util.tree_leaves_with_path(before_params),
+            jax.tree_util.tree_leaves_with_path(mask)):
+        if frozen:
+            np.testing.assert_array_equal(np.asarray(after), before,
+                                          err_msg=str(path))
+        else:
+            moved.append(float(np.max(np.abs(np.asarray(after) - before))))
+    assert max(moved) > 0.0
+    stat_delta = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - b))),
+        state.batch_stats, before_stats)
+    assert max(jax.tree.leaves(stat_delta)) > 0.0  # stats DO update
+
+
 def test_grad_accum_rejects_indivisible_batch(tiny_model):
     model, variables = tiny_model
     state = create_seg_state(model, variables, learning_rate=1e-3)

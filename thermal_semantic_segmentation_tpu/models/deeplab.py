@@ -56,11 +56,63 @@ class DeepLabV2(nn.Module):
         return out
 
 
+def bn_param_mask(params, batch_stats):
+    """Pytree mask (over params) selecting every BatchNorm scale/bias.
+
+    BN modules are identified exactly: they are the only modules owning a
+    ``batch_stats`` subtree, so a param leaf is a BN affine param iff its
+    parent module path appears in batch_stats. (Robust to naming — GroupNorms
+    in the ASPP head have scale/bias too but no batch stats.)
+    """
+    bn_paths = set()
+
+    def record(path, _):
+        bn_paths.add(tuple(k.key for k in path[:-1]))
+    jax.tree_util.tree_map_with_path(record, batch_stats)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: tuple(k.key for k in p[:-1]) in bn_paths, params)
+
+
+def freeze_bn_params(params, batch_stats):
+    """stop_gradient every BN scale/bias.
+
+    Reference semantics (models/deeplabv2.py:349-360 ``freeze_bn_func``): sets
+    ``requires_grad=False`` on BN weight/bias ONLY — it does NOT call
+    ``m.eval()``, so running stats keep updating in train mode and
+    normalization still uses batch statistics. This transform reproduces that
+    exactly: zero grads for BN affine params (Adam/SGD updates stay
+    identically zero), batch_stats mutation untouched.
+    """
+    mask = bn_param_mask(params, batch_stats)
+    return jax.tree.map(
+        lambda p, m: jax.lax.stop_gradient(p) if m else p, params, mask)
+
+
+class FrozenBNModel:
+    """Wraps a flax model so ``apply`` stop-gradients BN scale/bias.
+
+    Delegates everything else to the wrapped module, so trainers that take
+    ``model.apply`` / ``model.init`` work unchanged.
+    """
+
+    def __init__(self, model):
+        self._model = model
+
+    def __getattr__(self, name):
+        return getattr(self._model, name)
+
+    def apply(self, variables, *args, **kwargs):
+        stats = variables.get("batch_stats", {})
+        params = freeze_bn_params(variables["params"], stats)
+        return self._model.apply({**variables, "params": params},
+                                 *args, **kwargs)
+
+
 def create_deeplab(rng: jax.Array, *, num_classes: int = 13, num_channels: int = 1,
                    head: str = "module2", bn_clr: bool = False,
                    layers=(3, 4, 23, 3), dtype: Any = jnp.float32,
                    image_size=(256, 512), abstract: bool = False,
-                   remat: str = "none"):
+                   remat: str = "none", freeze_bn: bool = False):
     """Build the model and initialize variables.
 
     Returns (model, variables) where variables = {'params', 'batch_stats'}.
@@ -69,6 +121,12 @@ def create_deeplab(rng: jax.Array, *, num_classes: int = 13, num_channels: int =
     own XLA computation, which is minutes of round-trips on a tunneled TPU.
     ``abstract=True`` skips device work entirely (jax.eval_shape) — use it when
     a checkpoint will overwrite the variables.
+
+    ``freeze_bn=True`` mirrors the reference factory arg
+    (models/deeplabv2.py:356 ``Deeplab(..., freeze_bn=...)``): BN scale/bias
+    receive zero gradients (see freeze_bn_params for the exact semantics —
+    running stats still update, as in the reference). No reference entry point
+    passes True; exposed for factory-surface parity.
     """
     model = DeepLabV2(num_classes=num_classes, num_channels=num_channels,
                       head=head, bn_clr=bn_clr, layers=tuple(layers),
@@ -79,6 +137,8 @@ def create_deeplab(rng: jax.Array, *, num_classes: int = 13, num_channels: int =
         variables = jax.eval_shape(init, rng, dummy)
     else:
         variables = jax.jit(init)(rng, jnp.zeros(dummy.shape, dummy.dtype))
+    if freeze_bn:
+        model = FrozenBNModel(model)
     return model, variables
 
 
