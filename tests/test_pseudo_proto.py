@@ -66,6 +66,61 @@ def test_generate_soft_and_flip(tiny, tmp_path):
     assert png.shape == (64, 128)  # flip TTA path upsamples to input res
 
 
+class RaggedLoader(FakeLoader):
+    """Batches of [4, 1]: 5 images, last batch partial (drop_last=False)."""
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        for i, bs in enumerate([4, 1]):
+            yield {
+                "image": rng.uniform(0, 1, (bs, 64, 128, 1)).astype(np.float32),
+                "img_path": [f"im_{i}_{k}.png" for k in range(bs)],
+            }
+
+
+class TraceCountingModel:
+    """Counts how many times model.apply is TRACED (each new jit input shape
+    retraces, so the count exposes tail-shape recompiles)."""
+
+    def __init__(self, model):
+        self._model = model
+        self.traces = 0
+
+    def apply(self, *args, **kwargs):
+        self.traces += 1
+        return self._model.apply(*args, **kwargs)
+
+
+def test_pad_to_batch_compiles_once_and_writes_every_image(tiny, tmp_path):
+    """5 images at batch 4 (tail of 1): pad_to_batch must keep ONE compiled
+    shape (no retrace for the tail) and still write all 5 images' artifacts.
+    The reference instead drops the tail via drop_last
+    (/root/reference/generate_pseudo_label.py:33-38 serves every image only
+    when the dataset divides evenly)."""
+    model, variables = tiny
+    counting = TraceCountingModel(model)
+    n = generate_pseudo_labels(counting, variables, RaggedLoader(),
+                               save_path=str(tmp_path), soft=False, flip=False,
+                               pad_to_batch=4)
+    assert n == 5
+    traces_after_both = counting.traces
+    assert traces_after_both > 0
+    # same pipeline over ONLY the full batch: identical trace count proves the
+    # padded tail added no compile
+    counting2 = TraceCountingModel(model)
+    generate_pseudo_labels(counting2, variables, FakeLoader(n_batches=1, bs=4),
+                           save_path=str(tmp_path / "one"), soft=False,
+                           flip=False, pad_to_batch=4)
+    assert traces_after_both == counting2.traces
+    files = sorted(os.listdir(tmp_path))
+    for i, bs in enumerate([4, 1]):
+        for k in range(bs):
+            assert f"im_{i}_{k}.png" in files
+            assert f"im_{i}_{k}_conf.npy" in files
+    # padded rows must not leak into artifacts: confs are per-real-image only
+    assert "im_1_1.png" not in files and "im_1_1_conf.npy" not in files
+
+
 def test_calc_prototypes(tiny):
     model, variables = tiny
     protos, counts = calc_prototypes(model, variables, FakeLoader(),

@@ -33,7 +33,8 @@ def main(argv=None):
                                max_steps=args.max_steps,
                                native_encode=getattr(args, "native_encode",
                                                      False),
-                               wire=resolve_wire(args))
+                               wire=resolve_wire(args),
+                               pad_to_batch=args.batch_size)
     print(f"wrote pseudo labels for {n} images to {save_path}")
 
 

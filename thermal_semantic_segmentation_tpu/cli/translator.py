@@ -73,7 +73,15 @@ def translate(args):
         # datasets in translation mode return the destination path per image
         paths = batch.get("img_path")
         image = jnp.asarray(batch["image"])
-        fake = np.asarray(run(variables, image))
+        real_bs = image.shape[0]
+        if real_bs < args.batch_size:
+            # pad the tail batch so the jitted generator keeps ONE compiled
+            # shape (a second full-graph compile over the axon tunnel costs
+            # minutes); only the real rows are written below
+            image = jnp.concatenate(
+                [image, jnp.zeros((args.batch_size - real_bs,
+                                   *image.shape[1:]), image.dtype)])
+        fake = np.asarray(run(variables, image))[:real_bs]
         fake = np.clip((fake * denorm + denorm) * 255.0, 0, 255).astype(np.uint8)
         out_paths = []
         for k in range(fake.shape[0]):

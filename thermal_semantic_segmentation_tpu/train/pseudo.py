@@ -53,8 +53,16 @@ def generate_pseudo_labels(model, variables, loader, *, save_path: str,
                            soft: bool = False, flip: bool = False,
                            max_steps: int = 0, writer_threads: int = 8,
                            native_encode: bool = False,
-                           wire: str | None = "packed"):
+                           wire: str | None = "packed",
+                           pad_to_batch: int | None = None):
     """Run inference over the loader and write pseudo-label artifacts.
+
+    pad_to_batch: pad a partial tail batch (drop_last=False serves every
+    image, any dataset size) to this size with zeros so each jitted forward
+    keeps ONE compiled shape; only the real rows are written. Compiles over
+    the axon tunnel cost minutes, so a tail recompile is never worth it.
+    (The reference instead relies on drop_last=True and silently skips the
+    tail, generate_pseudo_label.py:33-38.)
 
     soft: per-image full softmax .npy (channel-first (C, h, w) to match the
           reference file format consumed by the self-train dataset).
@@ -92,15 +100,21 @@ def generate_pseudo_labels(model, variables, loader, *, save_path: str,
                 break
             images = jnp.asarray(batch["image"])
             names = batch["img_path"]
+            real_bs = images.shape[0]
+            if pad_to_batch is not None and real_bs < pad_to_batch:
+                images = jnp.concatenate(
+                    [images, jnp.zeros((pad_to_batch - real_bs,
+                                        *images.shape[1:]), images.dtype)])
             if soft:
-                probs = np.asarray(soft_fn(variables, images))
-                for k in range(images.shape[0]):
+                probs = np.asarray(soft_fn(variables, images))[:real_bs]
+                for k in range(real_bs):
                     futures.append(pool.submit(write_soft, os.path.basename(names[k]),
                                                probs[k]))
             else:
                 fn = hard_flip_fn if flip else hard_fn
                 conf, pseudo = fn(variables, images)
-                conf, pseudo = np.asarray(conf), np.asarray(pseudo)
+                conf = np.asarray(conf)[:real_bs]
+                pseudo = np.asarray(pseudo)[:real_bs]
                 if native_encode:
                     from ..data import native_loader as nl
                     base = [os.path.join(save_path, os.path.basename(n))
@@ -112,17 +126,17 @@ def generate_pseudo_labels(model, variables, loader, *, save_path: str,
                         nl.encode_pal8_batch,
                         [b[:-4] + "_color.png" for b in base],
                         pseudo.astype(np.uint8), pal))
-                    for k in range(images.shape[0]):
+                    for k in range(real_bs):
                         futures.append(pool.submit(
                             np.save,
                             base[k].replace(".png", "_conf.npy"),
                             conf[k].astype(np.float16)))
                 else:
-                    for k in range(images.shape[0]):
+                    for k in range(real_bs):
                         futures.append(pool.submit(
                             write_hard, os.path.basename(names[k]),
                             pseudo[k], conf[k]))
-            n_written += images.shape[0]
+            n_written += real_bs
             if i % 100 == 0:
                 print(f"pseudo label generation: [{i}/{len(loader)}]")
         for f in futures:
