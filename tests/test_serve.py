@@ -92,6 +92,69 @@ def test_micro_batching_coalesces(server):
     np.testing.assert_array_equal(preds[0], preds[1])
 
 
+def test_concurrent_http_load_coalesces(server):
+    """16 parallel HTTP clients, multiple rounds: every request succeeds and
+    the worker coalesces (batches_run grows by far less than requests) — the
+    micro-batching design's whole point, proven under real socket load."""
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(server, {"checkpoint": "load"}))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    u16 = (np.random.default_rng(6).integers(21000, 26000, (40, 120))
+           .astype(np.uint16))
+    payload = _png_bytes(u16)
+    url = f"http://127.0.0.1:{port}/segment?format=ids"
+
+    def post(_):
+        req = urllib.request.Request(url, data=payload, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, r.read()
+
+    n_clients, rounds = 16, 3
+    before_b, before_r = server.batches_run, server.requests_served
+    try:
+        with ThreadPoolExecutor(n_clients) as pool:
+            results = list(pool.map(post, range(n_clients * rounds)))
+    finally:
+        httpd.shutdown()
+    assert all(code == 200 for code, _ in results)
+    served = server.requests_served - before_r
+    ran = server.batches_run - before_b
+    assert served == n_clients * rounds
+    # with a batch-4 server and 16-way concurrency the worker must have
+    # coalesced well below one-batch-per-request
+    assert ran <= served * 3 // 4, (ran, served)
+    ids = np.asarray(Image.open(io.BytesIO(results[0][1])))
+    assert ids.shape == HW and ids.max() < 13
+
+
+def test_stop_fails_pending_requests_instead_of_hanging():
+    """Shutdown must deliver InferenceError to queued waiters (and to
+    submits that race the stop), never leave segment() blocked forever."""
+    import queue as queue_mod
+
+    from thermal_semantic_segmentation_tpu.cli.serve import InferenceError
+
+    model, variables = create_deeplab(jax.random.key(1), **TINY)
+    srv = InferenceServer(model, variables, batch_size=4, max_wait_ms=5,
+                          label_hw=HW)
+    srv.warmup()
+    # never started: the queue only drains at stop() — requests enqueued now
+    # would hang forever without the shutdown drain
+    arr = np.zeros((*HW, 1), np.float32)
+    waiters = [srv.submit(arr) for _ in range(3)]
+    srv._stop.set()          # simulate shutdown racing the submissions
+    srv.stop()
+    for w in waiters:
+        result = w.get(timeout=5)
+        assert isinstance(result, InferenceError)
+    # submits after stop fail immediately too
+    late = srv.submit(arr).get(timeout=5)
+    assert isinstance(late, InferenceError)
+    with pytest.raises(queue_mod.Empty):
+        srv._queue.get_nowait()
+
+
 def test_http_surface(server):
     httpd = ThreadingHTTPServer(("127.0.0.1", 0),
                                 make_handler(server, {"checkpoint": "test"}))

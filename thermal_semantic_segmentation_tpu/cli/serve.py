@@ -124,11 +124,24 @@ class InferenceServer:
     def stop(self):
         self._stop.set()
         self._queue.put(None)
-        self._worker.join(timeout=5)
+        if self._worker.ident is not None:  # started
+            self._worker.join(timeout=5)
+        # close the submit()-raced-with-drain window: anything enqueued after
+        # the worker's own drain gets failed here
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                item[1].put(InferenceError("server stopped"))
 
     def submit(self, arr: np.ndarray) -> "queue.Queue":
         """Enqueue one (H, W, 1) image; returns a single-item result queue."""
         out: queue.Queue = queue.Queue(maxsize=1)
+        if self._stop.is_set():
+            out.put(InferenceError("server stopped"))
+            return out
         self._queue.put((arr, out))
         return out
 
@@ -141,6 +154,21 @@ class InferenceServer:
         return result
 
     def _run(self):
+        try:
+            self._run_loop()
+        finally:
+            # deliver a failure to any request still queued (enqueued after
+            # the stop sentinel or mid-shutdown) so no segment() call blocks
+            # forever on its result queue
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    item[1].put(InferenceError("server stopped"))
+
+    def _run_loop(self):
         import time
         while not self._stop.is_set():
             item = self._queue.get()
