@@ -145,6 +145,21 @@ def gan_main(args):
         pools = make_pools(shapes, dtype=dtype, seed=args.seed)
 
     os.makedirs(args.gan_model_root_path, exist_ok=True)
+    # live dashboards (reference train.py:241-260): image panels of
+    # real/translated pairs + multi-series loss lines, every log_interval
+    # iters. Silently inert when visdom isn't importable/reachable.
+    from ..utils.observability import VisdomPlotter
+    plotter = VisdomPlotter()
+    vis_live = plotter.vis is not None
+    loss_dict: dict = {}
+    epoch_counter_ratio: list = []
+
+    def _push_panels(i_global, reals, fakes):
+        # NHWC [-1, 1] -> CHW panels, one image per window like the reference
+        for name, arr in {**reals, **fakes}.items():
+            img = np.asarray(arr[0], dtype=np.float32).transpose(2, 0, 1)
+            plotter.images(img, win=name, title=name)
+
     print("--------START TRAINING--------")
     for epoch in range(restart_epoch, restart_epoch + args.num_epoch):
         print(f"--------EPOCH {epoch}--------")
@@ -171,6 +186,7 @@ def gan_main(args):
                 break
             real_s, real_t = b["real_s"], b["real_t"]
             label_s = b.get("label_s")
+            log_now = i % args.log_interval == 0
             if host_pool:
                 state, metrics, outs = g_step(state, real_s, real_t, label_s,
                                               sem_vars, with_sem=args.sem_loss)
@@ -182,16 +198,29 @@ def gan_main(args):
                 fakes = shard_batch(mesh, fakes)
                 state, d_metrics = d_step(state, reals, fakes)
                 all_metrics = {**metrics, **d_metrics}
+                img_outs = outs
             else:
                 state, pools, all_metrics = fused_step(
                     state, pools, real_s, real_t, label_s, sem_vars,
-                    with_sem=args.sem_loss)
-            if i % args.log_interval == 0:
+                    with_sem=args.sem_loss,
+                    with_outs=vis_live and log_now)
+                img_outs = {k[len("out_"):]: all_metrics.pop(k)
+                            for k in list(all_metrics)
+                            if k.startswith("out_")}
+            if log_now:
                 vals = {k: float(v) for k, v in all_metrics.items()}
                 for k, v in vals.items():
                     if k in meters:
                         meters[k].update(v, real_s.shape[0])
                 progress.display(i)
+                if vis_live:
+                    _push_panels(i, {"real_s": real_s, "real_t": real_t},
+                                 img_outs)  # fake_t (+ fake_s when cycle)
+                    for k, v in vals.items():
+                        if k in meters:
+                            loss_dict.setdefault(k, []).append(v)
+                    epoch_counter_ratio.append(epoch + i / max(n_batches, 1))
+                    plotter.plot_loss(epoch_counter_ratio, loss_dict)
 
         save_checkpoint(ckpt_path if args.new_checkpoint_name == args.checkpoint_name
                         else os.path.join(args.gan_model_root_path,

@@ -328,18 +328,23 @@ def make_fused_gan_step(*, pool_size: int = 50, **kwargs):
 
     Returns (step, make_pools) where
       step(state, pools, real_s, real_t, label_s=None, sem_vars=None,
-           with_sem=False) -> (state, pools, metrics)
+           with_sem=False, with_outs=False) -> (state, pools, metrics)
       make_pools(shapes: {name: (H, W, C)}, dtype, seed) -> {name: DevicePool}
+
+    ``with_outs=True`` (static) additionally returns the generated images in
+    metrics under 'out_fake_t'/'out_fake_s' — for the reference's every-10-iter
+    visdom image panels (train.py:241-246). Off by default so the standard
+    program ships no extra outputs.
     """
     from ..ops.image_pool import create_device_pool, device_pool_query
 
     cycle = kwargs.get("cycle", True)
     g_core, d_core = _make_gan_cores(**kwargs)
 
-    @functools.partial(jax.jit, static_argnames=("with_sem",),
+    @functools.partial(jax.jit, static_argnames=("with_sem", "with_outs"),
                        donate_argnums=(0, 1))
     def step(state: GanTrainState, pools, real_s, real_t, label_s=None,
-             sem_vars=None, *, with_sem: bool = False):
+             sem_vars=None, *, with_sem: bool = False, with_outs: bool = False):
         state, metrics, outs = g_core(state, real_s, real_t, label_s,
                                       sem_vars, with_sem=with_sem)
         reals = {"t": real_t}
@@ -351,7 +356,10 @@ def make_fused_gan_step(*, pool_size: int = 50, **kwargs):
             fakes["s"], pools["s"] = device_pool_query(
                 pools["s"], outs["fake_s"], pool_size=pool_size)
         state, d_metrics = d_core(state, reals, fakes)
-        return state, pools, {**metrics, **d_metrics}
+        metrics = {**metrics, **d_metrics}
+        if with_outs:
+            metrics.update({f"out_{k}": v for k, v in outs.items()})
+        return state, pools, metrics
 
     def make_pools(shapes, *, dtype=jnp.float32, seed: int = 0):
         return {name: create_device_pool(pool_size, shape, dtype=dtype,
