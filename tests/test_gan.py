@@ -83,6 +83,35 @@ def test_unet256_full_size():
     assert y.shape == (1, 256, 512, 1)
 
 
+def test_phased_convt_matches_dilated_exactly():
+    """convt='phased' (dense 2x2 conv + depth-to-space) must be numerically
+    equivalent to the nn.ConvTranspose formulation with the SAME params —
+    it is an implementation detail, not a different model. Train mode too
+    (BN batch stats must match)."""
+    dilated = unet_32(ngf=8, output_nc=1)
+    phased = unet_32(ngf=8, output_nc=1, convt="phased")
+    variables = init_gan_net(dilated, jax.random.key(0), (1, 32, 64, 3))
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((2, 32, 64, 3)).astype(np.float32))
+    y_ref = dilated.apply(variables, x, train=False, mutable=False)
+    y_got = phased.apply(variables, x, train=False, mutable=False)
+    np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    (t_ref, m_ref) = dilated.apply(variables, x, train=True,
+                                   mutable=["batch_stats"])
+    (t_got, m_got) = phased.apply(variables, x, train=True,
+                                  mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_ref),
+                               rtol=1e-5, atol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), m_got, m_ref)
+    # identical param pytree structure (checkpoints interchange freely)
+    ref_shapes = jax.tree.map(lambda a: a.shape, variables["params"])
+    got_vars = init_gan_net(phased, jax.random.key(1), (1, 32, 64, 3))
+    got_shapes = jax.tree.map(lambda a: a.shape, got_vars["params"])
+    assert ref_shapes == got_shapes
+
+
 def test_resnet_generator_shapes():
     model = resnet_6(ngf=8, output_nc=3)
     variables = init_gan_net(model, jax.random.key(0), (1, 32, 64, 1))

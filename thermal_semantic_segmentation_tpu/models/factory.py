@@ -20,31 +20,31 @@ from .deeplab import DeepLabV2
 def unet_256(ngf: int = 64, input_nc: int = 3, output_nc: int = 3,
              norm: str = "batch", use_dropout: bool = False,
              init_type: str = "normal", init_gain: float = 0.02,
-             dtype: Any = jnp.float32):
+             dtype: Any = jnp.float32, convt: str = "dilated"):
     del input_nc  # input channels are inferred from data at init time
     return UnetGenerator(output_nc=output_nc, num_downs=8, ngf=ngf, norm=norm,
                          use_dropout=use_dropout, init_type=init_type,
-                         init_gain=init_gain, dtype=dtype)
+                         init_gain=init_gain, dtype=dtype, convt=convt)
 
 
 def unet_128(ngf: int = 64, input_nc: int = 3, output_nc: int = 3,
              norm: str = "batch", use_dropout: bool = False,
              init_type: str = "normal", init_gain: float = 0.02,
-             dtype: Any = jnp.float32):
+             dtype: Any = jnp.float32, convt: str = "dilated"):
     del input_nc
     return UnetGenerator(output_nc=output_nc, num_downs=7, ngf=ngf, norm=norm,
                          use_dropout=use_dropout, init_type=init_type,
-                         init_gain=init_gain, dtype=dtype)
+                         init_gain=init_gain, dtype=dtype, convt=convt)
 
 
 def unet_32(ngf: int = 64, input_nc: int = 3, output_nc: int = 3,
             norm: str = "batch", use_dropout: bool = False,
             init_type: str = "normal", init_gain: float = 0.02,
-            dtype: Any = jnp.float32):
+            dtype: Any = jnp.float32, convt: str = "dilated"):
     del input_nc
     return UnetGenerator(output_nc=output_nc, num_downs=5, ngf=ngf, norm=norm,
                          use_dropout=use_dropout, init_type=init_type,
-                         init_gain=init_gain, dtype=dtype)
+                         init_gain=init_gain, dtype=dtype, convt=convt)
 
 
 def resnet_9(ngf: int = 64, input_nc: int = 3, output_nc: int = 3,

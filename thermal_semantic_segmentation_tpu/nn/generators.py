@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .norms import make_norm
@@ -41,15 +42,64 @@ def _conv(features, k, s, pad, use_bias, name, init=None):
                    use_bias=use_bias, kernel_init=init or _GAIN_INIT, name=name)
 
 
-def _convT(features, use_bias, name, k=4, init=None):
+def _convT(features, use_bias, name, k=4, init=None, phased=False):
     # Explicit padding matching torch ConvTranspose2d(k=4,s=2,p=1) and
     # (k=3,s=2,p=1,output_padding=1): lax.conv_transpose pad per edge is
     # (k-1-p, k-1-p+output_padding). Both give exactly 2H, with the same
     # left/right placement as torch, so converted checkpoints are bit-aligned.
+    if phased and k == 4:
+        return PhasedConvTranspose(features, use_bias=use_bias,
+                                   kernel_init=init or _GAIN_INIT, name=name)
     pad = (k - 2, k - 2 + (k % 2))
     return nn.ConvTranspose(features, (k, k), strides=(2, 2), padding=[pad, pad],
                             use_bias=use_bias, kernel_init=init or _GAIN_INIT,
                             name=name)
+
+
+class PhasedConvTranspose(nn.Module):
+    """ConvTranspose(k=4, s=2, p=1) as ONE dense stride-1 2x2 conv + a
+    depth-to-space interleave — mathematically identical to the input-dilated
+    formulation (parity-tested), but MXU-dense: no lhs_dilation zero-stuffing
+    and none of the layout copies XLA emits around dilated convs (profiled at
+    26% of the fused GAN step, "data formatting" — see CLAUDE.md).
+
+    The output at (2m+ph, 2n+pw) touches exactly the taps of W with row
+    parity ph and column parity pw: out[2m] = x[m-1] W[0] + x[m] W[2],
+    out[2m+1] = x[m] W[1] + x[m+1] W[3] (per axis). So one VALID 2x2 conv on
+    the 1-padded input with 4F output channels computes all four phases;
+    shifted slices + a reshape interleave them.
+
+    The parameter is the SAME (4, 4, C, F) kernel (+ (F,) bias) that
+    nn.ConvTranspose stores, so checkpoints/converters are unaffected.
+    """
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Any = _GAIN_INIT
+
+    @nn.compact
+    def __call__(self, x):
+        c, f = x.shape[-1], self.features
+        kernel = self.param("kernel", self.kernel_init, (4, 4, c, f))
+        kernel = kernel.astype(x.dtype)
+        taps = {0: (0, 2), 1: (1, 3)}
+        blocks = [kernel[taps[ph], :, :, :][:, taps[pw], :, :]
+                  for ph in (0, 1) for pw in (0, 1)]      # 4 x (2,2,C,F)
+        k2 = jnp.concatenate(blocks, axis=-1)             # (2,2,C,4F)
+        n, h, w = x.shape[:3]
+        xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xpad, k2, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (N,H+1,W+1,4F)
+        phases = jnp.stack([y[:, ph:ph + h, pw:pw + w, i * f:(i + 1) * f]
+                            for i, (ph, pw) in enumerate(
+                                [(0, 0), (0, 1), (1, 0), (1, 1)])], axis=-2)
+        out = (phases.reshape(n, h, w, 2, 2, f)
+               .transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, f))
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (f,)).astype(x.dtype)
+        return out
 
 
 class UnetGenerator(nn.Module):
@@ -64,11 +114,16 @@ class UnetGenerator(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     dtype: Any = jnp.float32
+    # up-conv formulation: 'dilated' (nn.ConvTranspose / lhs_dilation) or
+    # 'phased' (PhasedConvTranspose: dense 2x2 conv + depth-to-space; exact
+    # same math and param layout, fewer TPU layout copies)
+    convt: str = "dilated"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         norm_fn, use_bias = make_norm(self.norm, train=train, dtype=self.dtype)
         init = weight_init(self.init_type, self.init_gain)
+        phased = self.convt == "phased"
         g = self.ngf
         filters = [g, 2 * g, 4 * g] + [8 * g] * (self.num_downs - 3)
         x = x.astype(self.dtype)
@@ -89,13 +144,14 @@ class UnetGenerator(nn.Module):
         # decoder with skip concats (reverse order)
         for d in range(self.num_downs - 1, 0, -1):
             h = nn.relu(h)
-            h = _convT(filters[d - 1], use_bias, f"up{d}", init=init)(h)
+            h = _convT(filters[d - 1], use_bias, f"up{d}", init=init,
+                       phased=phased)(h)
             h = norm_fn(f"up{d}_norm")(h)
             if self.use_dropout and d > 3 and d < self.num_downs - 1:
                 h = nn.Dropout(0.5, deterministic=not train, name=f"up{d}_drop")(h)
             h = jnp.concatenate([ys[d - 1], h], axis=-1)
         h = nn.relu(h)
-        h = _convT(self.output_nc, True, "up0", init=init)(h)
+        h = _convT(self.output_nc, True, "up0", init=init, phased=phased)(h)
         return jnp.tanh(h)
 
 
