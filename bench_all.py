@@ -99,16 +99,19 @@ def bench_gan():
 
 
 def bench_gan_fused():
-    """One fused jitted G + device-pool + D step (the default trainer)."""
+    """One fused jitted G + device-pool + D step (the default trainer).
+    --convt=phased benches the PhasedConvTranspose up-conv formulation
+    (nn/generators.py) against the default dilated one; --batch=N overrides."""
     from thermal_semantic_segmentation_tpu.models.factory import (
         init_gan_net, patchgan, unet_256)
     from thermal_semantic_segmentation_tpu.train.gan import (
         create_gan_state, make_fused_gan_step)
-    B = 4
+    B = next((int(a.split("=")[1]) for a in sys.argv if a.startswith("--batch=")), 4)
+    convt = ("phased" if "--convt=phased" in sys.argv else "dilated")
     key = jax.random.key(0)
     dtype = jnp.bfloat16
-    g_s2t = unet_256(output_nc=1, dtype=dtype)
-    g_t2s = unet_256(output_nc=3, dtype=dtype)
+    g_s2t = unet_256(output_nc=1, dtype=dtype, convt=convt)
+    g_t2s = unet_256(output_nc=3, dtype=dtype, convt=convt)
     d_t, d_s = patchgan(dtype=dtype), patchgan(dtype=dtype)
     g_vars = {"s2t": init_gan_net(g_s2t, key, (1, *HW, 3)),
               "t2s": init_gan_net(g_t2s, key, (1, *HW, 1))}
@@ -132,7 +135,7 @@ def bench_gan_fused():
     _sync(m["g_s2t"])
     dt = time.perf_counter() - t
     return {"metric": "gan_train_fused_steps_per_sec", "value": round(n / dt, 3),
-            "unit": "steps/s", "batch": B,
+            "unit": "steps/s", "batch": B, "convt": convt,
             "images_per_sec": round(B * n / dt, 2)}
 
 
@@ -291,9 +294,130 @@ def bench_pipeline():
             "decode_cache": cache}
 
 
+def bench_serve():
+    """Inference server under CONCURRENT load: 16 parallel HTTP clients
+    against the micro-batching server (batch 8). The sequential number
+    (19.2 img/s, BASELINE.md) is one request at a time — pure round-trip
+    latency; coalescing is the design's point and this measures it."""
+    import io
+    import threading
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+    from http.server import ThreadingHTTPServer
+
+    from PIL import Image
+
+    from thermal_semantic_segmentation_tpu.cli.serve import (
+        InferenceServer, make_handler)
+    from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+
+    model, variables = create_deeplab(
+        jax.random.key(0), num_classes=13, num_channels=1,
+        dtype=jnp.bfloat16, image_size=HW, abstract=False)
+    server = InferenceServer(model, variables, batch_size=8, max_wait_ms=10,
+                             label_hw=HW, wire_bf16=True)
+    server.warmup()
+    server.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(server, {"checkpoint": "bench"}))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    rng = np.random.default_rng(0)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(21000, 26000, (320, 960))
+                    .astype(np.uint16)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    url = f"http://127.0.0.1:{port}/segment?format=ids"
+
+    def post(_):
+        req = urllib.request.Request(url, data=payload, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            return len(r.read())
+
+    n_clients, n_requests = 16, 96
+    with ThreadPoolExecutor(n_clients) as pool:      # warmup round
+        list(pool.map(post, range(n_clients)))
+    b0, r0 = server.batches_run, server.requests_served
+    t = time.perf_counter()
+    with ThreadPoolExecutor(n_clients) as pool:
+        list(pool.map(post, range(n_requests)))
+    dt = time.perf_counter() - t
+    coalesce = (server.requests_served - r0) / max(server.batches_run - b0, 1)
+    httpd.shutdown()
+    server.stop()
+    return {"metric": "serve_concurrent_images_per_sec",
+            "value": round(n_requests / dt, 2), "unit": "images/s",
+            "clients": n_clients, "batch_size": 8,
+            "avg_coalesced_batch": round(coalesce, 2)}
+
+
+def bench_convergence():
+    """Synthetic convergence gate ON THE CHIP, through the real CLIs.
+
+    Trains the seg path on a learnable-by-construction Freiburg tree (labels
+    are a function of pixel intensity, tests/synthetic.py) at the full
+    256x512 protocol with a small --layers config, evaluates through the real
+    segmentation_evaluate CLI/protocol (align-corners upsample -> argmax ->
+    confusion matrix -> nanmean(iu[:11]), segmentation_evaluate.py:24-80),
+    and asserts mIoU >= 0.9. Writes CONVERGENCE.json at the repo root — the
+    quantitative accuracy artifact (the north-star real-data threshold 0.52,
+    self_train_main.py:53, needs the real dataset; this proves the training
+    machinery can converge at all)."""
+    import contextlib
+    import io
+    import os
+    import re
+    import tempfile
+
+    from tests.synthetic import make_learnable_freiburg_tree
+    from thermal_semantic_segmentation_tpu.cli import (segmentation_evaluate,
+                                                       segmentation_train)
+
+    # ~6 steps/epoch at batch 8 on the 64-image tree; the loss takes ~200+
+    # steps to collapse under the full RandomResizedCrop train transform
+    # (a FIXED batch overfits to CE 0.01 in 150 steps at this LR)
+    epochs = 60
+    with tempfile.TemporaryDirectory() as tmp:
+        root = os.path.join(tmp, "datasets", "freiburg")
+        make_learnable_freiburg_tree(root, n_train=64, n_test=8, seed=3)
+        common = ["--freiburg_root", root,
+                  "--model_root_path", os.path.join(tmp, "ckpt"),
+                  "--layers", "1,1,1,1", "--decode_cache_mb", "1024",
+                  "-net_mode", "one_channel"]
+        t = time.perf_counter()
+        segmentation_train.main([
+            "-dataset", "freiburg_ir", "-epochs", str(epochs),
+            "-batch_size", "8", "-val_batch_size", "8", "-lr", "0.003",
+            "-new_checkpoint_name", "convergence_gate.pth", *common])
+        train_sec = time.perf_counter() - t
+        out = io.StringIO()
+        with contextlib.redirect_stdout(out):
+            segmentation_evaluate.main([
+                "-dataset", "freiburg_ir",
+                "-checkpoint_name", "convergence_gate.pth", *common])
+        text = out.getvalue()
+        print(text)
+        m = re.search(r"mean iou score: \[([0-9.eE+-]+)\]", text)
+        assert m, f"no mean iou in eval output:\n{text}"
+        miou = float(m.group(1))
+    result = {"metric": "synthetic_convergence_miou", "value": round(miou, 4),
+              "unit": "mIoU", "threshold": 0.9, "passed": miou >= 0.9,
+              "epochs": epochs, "layers": "1,1,1,1",
+              "protocol": "256x512, nanmean(iu[:11])",
+              "train_sec": round(train_sec, 1)}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "CONVERGENCE.json"), "w") as f:
+        f.write(json.dumps(result) + "\n")
+    assert miou >= 0.9, f"convergence gate FAILED: mIoU {miou:.4f} < 0.9"
+    return result
+
+
 BENCHES = {"seg": bench_seg, "gan": bench_gan, "gan_fused": bench_gan_fused,
            "self_train": bench_self_train, "pseudo": bench_pseudo,
-           "eval": bench_eval, "pipeline": bench_pipeline}
+           "eval": bench_eval, "pipeline": bench_pipeline,
+           "convergence": bench_convergence, "serve": bench_serve}
 
 
 def main():

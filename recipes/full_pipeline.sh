@@ -76,13 +76,4 @@ EVAL_LOG=$(mktemp)
 run segmentation_evaluate -dataset freiburg_ir -checkpoint_name "best${ST_CKPT}" \
     --root . | tee "${EVAL_LOG}"
 
-python - "$EVAL_LOG" "$MIN_MIOU" <<'PYEOF'
-import re, sys
-log, min_miou = open(sys.argv[1]).read(), float(sys.argv[2])
-m = re.search(r"mean iou score: \[([0-9.eE+-]+)\]", log)
-assert m, "no mean iou in eval output"
-miou = float(m.group(1))
-print(f"[recipe] final Freiburg-IR test mIoU = {miou:.4f} (threshold {min_miou})")
-assert miou >= min_miou, f"mIoU {miou:.4f} below threshold {min_miou}"
-print("[recipe] PASSED")
-PYEOF
+python "${REPO}/recipes/assert_miou.py" "$EVAL_LOG" "$MIN_MIOU"

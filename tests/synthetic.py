@@ -72,6 +72,71 @@ def make_cityscapes_tree(root: str, n: int = 3, data_folder: str = "leftImg8bit"
     return root
 
 
+def _banded_class_map(rng, shape, n_classes=13, n_bands=6):
+    """Piecewise-constant vertical class bands (distinct classes, random
+    order/widths). Labels are derivable from pixel intensity by construction
+    (see _ir_from_classes), so a segmenter can reach ~1.0 mIoU in band
+    interiors; band COUNT bounds the boundary-pixel fraction (the stride-8
+    logits + protocol resizes blur ~1-2 px per edge), so fewer/wider bands
+    keep the ceiling high. Classes not drawn for an image still appear across
+    the dataset; classes absent from the test set drop out of the
+    nanmean(iu[:11]) metric rather than scoring 0."""
+    h, w = shape
+    order = rng.choice(n_classes, size=min(n_bands, n_classes), replace=False)
+    widths = rng.dirichlet(np.full(len(order), 5.0)) * w
+    edges = np.concatenate([[0], np.round(np.cumsum(widths))]).astype(int)
+    edges[-1] = w
+    label = np.zeros((h, w), np.uint8)
+    for k, cls in enumerate(order):
+        label[:, edges[k]:edges[k + 1]] = cls
+    return label
+
+
+def _ir_from_classes(rng, label, n_classes=13, noise=30.0):
+    """Class k -> raw IR value centered in slot k of the radiometric window
+    [21800, 25000] (data/freiburg.py IR_MIN/IR_MAX), +- small noise. The
+    windowed, normalized pixel value is then (k + 0.5)/n_classes: intensity
+    uniquely identifies the class."""
+    span = (25000.0 - 21800.0) / n_classes
+    raw = 21800.0 + (label.astype(np.float32) + 0.5) * span
+    raw = raw + rng.normal(0, noise, size=label.shape).astype(np.float32)
+    return np.clip(raw, 21800, 25000).astype(np.uint16)
+
+
+def make_learnable_freiburg_tree(root: str, n_train: int = 24, n_test: int = 8,
+                                 seed: int = 0, hw=(320, 960),
+                                 n_classes: int = 13) -> str:
+    """Freiburg-layout tree whose labels are derivable from image content —
+    the synthetic convergence gate's dataset (a segmenter trained on it must
+    reach ~1.0 mIoU through the full real pipeline, or the framework is
+    broken). Default ``hw`` equals the loader's RAW_SIZE so the BICUBIC
+    resize in load_ir_image is an identity and class boundaries stay sharp.
+    """
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "train", "seq_00_day", "00")
+    for i in range(n_train):
+        label = _banded_class_map(rng, hw, n_classes)
+        ir = _ir_from_classes(rng, label, n_classes)
+        p = os.path.join(base, "fl_ir_aligned", f"{i:04d}.png")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(ir).save(p)
+        _save_rgb(os.path.join(base, "fl_rgb", f"{i:04d}.png"), rng, hw)
+        lp = os.path.join(base, "fl_rgb_labels", f"{i:04d}.png")
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        Image.fromarray(label, mode="L").save(lp)
+    for i in range(n_test):
+        label = _banded_class_map(rng, hw, n_classes)
+        ir = _ir_from_classes(rng, label, n_classes)
+        p = os.path.join(root, "test", "day", "ImagesIR", f"{i:04d}_ir.png")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(ir).save(p)
+        lp = os.path.join(root, "test", "day", "SegmentationClass",
+                          f"{i:04d}_rgb.npy")
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        np.save(lp, label)
+    return root
+
+
 def make_kitti_tree(root: str, n: int = 3, seed: int = 2) -> str:
     rng = np.random.default_rng(seed)
     for i in range(n):

@@ -111,7 +111,8 @@ def build_deeplab(args, *, get_feat: bool = True, head: str = "module2",
     return create_deeplab(jax.random.key(args.seed), num_classes=args.num_classes,
                           num_channels=num_channels, head=head, dtype=dtype,
                           abstract=abstract,
-                          remat=getattr(args, "remat", "none"))
+                          remat=getattr(args, "remat", "none"),
+                          layers=getattr(args, "layers", (3, 4, 23, 3)))
 
 
 def load_seg_checkpoint(path: str):
