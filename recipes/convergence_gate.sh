@@ -20,20 +20,21 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 export PYTHONPATH="${REPO}${PYTHONPATH:+:${PYTHONPATH}}"
 
 WORKDIR=${WORKDIR:-$(mktemp -d /tmp/tss_convergence.XXXX)}
-EPOCHS=${EPOCHS:-40}
-STEPS=${STEPS:-0}                 # 0 = full epochs
+EPOCHS=${EPOCHS:-100}             # ~25 steps/epoch; the intensity rule needs
+STEPS=${STEPS:-0}                 # ~2000+ steps to beat view memorization
 BATCH=${BATCH:-8}
 LAYERS=${LAYERS:-1,1,1,1}
 LR=${LR:-0.003}
 MIN_MIOU=${MIN_MIOU:-0.9}
-N_TRAIN=${N_TRAIN:-24}
+N_TRAIN=${N_TRAIN:-256}
 CKPT=${CKPT:-convergence_gate.pth}
 
 cd "${WORKDIR}"
 python -c "
 import sys; sys.path.insert(0, '${REPO}')
 from tests.synthetic import make_learnable_freiburg_tree
-make_learnable_freiburg_tree('datasets/freiburg', n_train=${N_TRAIN}, n_test=8)
+make_learnable_freiburg_tree('datasets/freiburg', n_train=${N_TRAIN}, n_test=8,
+                             n_bands=3)
 print('[gate] synthetic learnable tree at', '${WORKDIR}/datasets/freiburg')
 "
 
@@ -46,7 +47,7 @@ run() {
 run segmentation_train -dataset freiburg_ir -net_mode one_channel \
     -epochs "${EPOCHS}" -batch_size "${BATCH}" -val_batch_size "${BATCH}" \
     -lr "${LR}" -max_steps "${STEPS}" --layers "${LAYERS}" \
-    -new_checkpoint_name "${CKPT}"
+    --decode_cache_mb 1024 -new_checkpoint_name "${CKPT}"
 
 EVAL_LOG=$(mktemp)
 run segmentation_evaluate -dataset freiburg_ir -checkpoint_name "${CKPT}" \

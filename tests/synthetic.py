@@ -72,24 +72,38 @@ def make_cityscapes_tree(root: str, n: int = 3, data_folder: str = "leftImg8bit"
     return root
 
 
-def _banded_class_map(rng, shape, n_classes=13, n_bands=6):
+def _banded_class_map(rng, shape, n_classes=13, n_bands=6,
+                      boundary_ignore=10, ignore_index=12, classes=None):
     """Piecewise-constant vertical class bands (distinct classes, random
-    order/widths). Labels are derivable from pixel intensity by construction
-    (see _ir_from_classes), so a segmenter can reach ~1.0 mIoU in band
-    interiors; band COUNT bounds the boundary-pixel fraction (the stride-8
-    logits + protocol resizes blur ~1-2 px per edge), so fewer/wider bands
-    keep the ceiling high. Classes not drawn for an image still appear across
-    the dataset; classes absent from the test set drop out of the
-    nanmean(iu[:11]) metric rather than scoring 0."""
+    order/widths), with an ``ignore_index`` strip carved over each interior
+    boundary of the LABEL.
+
+    Labels are derivable from pixel intensity by construction (see
+    _ir_from_classes), EXCEPT on boundary ramps: the protocol's BICUBIC
+    resizes interpolate between band intensities, and the interpolants land
+    in OTHER classes' intensity slots — supervising those pixels teaches a
+    contradictory map (measured: mid-window class 6 collapses to IoU 0.0
+    because interpolated ramp values are the most common there). The ignore
+    strip removes that noise from both CE and the confusion matrix, making
+    interiors cleanly learnable (~1.0 IoU). Classes absent from the test set
+    drop out of nanmean(iu[:11]) rather than scoring 0."""
     h, w = shape
-    order = rng.choice(n_classes, size=min(n_bands, n_classes), replace=False)
+    if classes is not None:
+        order = np.asarray(classes)
+    else:
+        order = rng.choice(n_classes, size=min(n_bands, n_classes),
+                           replace=False)
     widths = rng.dirichlet(np.full(len(order), 5.0)) * w
     edges = np.concatenate([[0], np.round(np.cumsum(widths))]).astype(int)
     edges[-1] = w
-    label = np.zeros((h, w), np.uint8)
+    bands = np.zeros((h, w), np.uint8)
     for k, cls in enumerate(order):
-        label[:, edges[k]:edges[k + 1]] = cls
-    return label
+        bands[:, edges[k]:edges[k + 1]] = cls
+    label = bands.copy()
+    half = boundary_ignore // 2
+    for e in edges[1:-1]:
+        label[:, max(e - half, 0):e + half] = ignore_index
+    return label, bands
 
 
 def _ir_from_classes(rng, label, n_classes=13, noise=30.0):
@@ -105,7 +119,7 @@ def _ir_from_classes(rng, label, n_classes=13, noise=30.0):
 
 def make_learnable_freiburg_tree(root: str, n_train: int = 24, n_test: int = 8,
                                  seed: int = 0, hw=(320, 960),
-                                 n_classes: int = 13) -> str:
+                                 n_classes: int = 13, n_bands: int = 6) -> str:
     """Freiburg-layout tree whose labels are derivable from image content —
     the synthetic convergence gate's dataset (a segmenter trained on it must
     reach ~1.0 mIoU through the full real pipeline, or the framework is
@@ -115,8 +129,8 @@ def make_learnable_freiburg_tree(root: str, n_train: int = 24, n_test: int = 8,
     rng = np.random.default_rng(seed)
     base = os.path.join(root, "train", "seq_00_day", "00")
     for i in range(n_train):
-        label = _banded_class_map(rng, hw, n_classes)
-        ir = _ir_from_classes(rng, label, n_classes)
+        label, bands = _banded_class_map(rng, hw, n_classes, n_bands)
+        ir = _ir_from_classes(rng, bands, n_classes)
         p = os.path.join(base, "fl_ir_aligned", f"{i:04d}.png")
         os.makedirs(os.path.dirname(p), exist_ok=True)
         Image.fromarray(ir).save(p)
@@ -125,8 +139,14 @@ def make_learnable_freiburg_tree(root: str, n_train: int = 24, n_test: int = 8,
         os.makedirs(os.path.dirname(lp), exist_ok=True)
         Image.fromarray(label, mode="L").save(lp)
     for i in range(n_test):
-        label = _banded_class_map(rng, hw, n_classes)
-        ir = _ir_from_classes(rng, label, n_classes)
+        # deterministic round-robin class coverage: a class ABSENT from the
+        # test labels but predicted anywhere scores IoU 0.0 (not nan — the
+        # reference _fast_hist counts its predicted column), silently
+        # dragging nanmean(iu[:11]) down. Guarantee every class appears.
+        cls = [(n_bands * i + j) % n_classes for j in range(n_bands)]
+        label, bands = _banded_class_map(rng, hw, n_classes, n_bands,
+                                         classes=rng.permutation(cls))
+        ir = _ir_from_classes(rng, bands, n_classes)
         p = os.path.join(root, "test", "day", "ImagesIR", f"{i:04d}_ir.png")
         os.makedirs(os.path.dirname(p), exist_ok=True)
         Image.fromarray(ir).save(p)
