@@ -157,6 +157,81 @@ def make_learnable_freiburg_tree(root: str, n_train: int = 24, n_test: int = 8,
     return root
 
 
+def make_selftrain_freiburg_tree(root: str, n_train: int = 256, n_test: int = 8,
+                                 seed: int = 0, hw=(320, 960),
+                                 n_classes: int = 13, n_bands: int = 3,
+                                 translation_name: str = "synthetic_translation",
+                                 source_noise_u8: float = 2.0,
+                                 target_shift_slots: float = 0.35,
+                                 target_noise_slots: float = 0.25) -> str:
+    """Freiburg tree with a CONSTRUCTED DOMAIN GAP for the self-train gate.
+
+    Two co-registered domains over the same banded class maps
+    (_banded_class_map), mirroring the real pipeline where translated source
+    frames are pixel-aligned with their labels:
+
+    - SOURCE = "translated" frames under ``<translation_name>/…/fl_rgb/``
+      (read by ``Freiburg(segmentation_mode=True)`` via the reference's
+      split->translation_name path substitution, data/freiburg_dataset.py:95):
+      clean uint8 'L' images, class k at intensity (k+0.5)/13*255, tiny noise.
+      A segmenter trains to ~1.0 mIoU on these.
+    - TARGET = IR frames under ``train/…/fl_ir_aligned`` and the test split:
+      the SAME intensity->class rule but with every band's raw value shifted
+      by ``target_shift_slots`` of a class slot and blurred with
+      ``target_noise_slots`` of per-pixel sensor noise. The shift moves each
+      class cluster toward its upper decision boundary and the noise pushes a
+      tail of pixels across it, so a source-trained model degrades on target
+      in the classic covariate-shift way (majority of pixels still correct ->
+      pseudo-labels are bootstrappable; the self-training loop must move the
+      boundaries to the target clusters and recover the margin).
+    """
+    rng = np.random.default_rng(seed)
+    slot = (25000.0 - 21800.0) / n_classes
+
+    def target_ir(bands):
+        raw = 21800.0 + (bands.astype(np.float32) + 0.5 + target_shift_slots) * slot
+        raw = raw + rng.normal(0, target_noise_slots * slot,
+                               size=bands.shape).astype(np.float32)
+        return np.clip(raw, 21800, 25000).astype(np.uint16)
+
+    def source_u8(bands):
+        val = (bands.astype(np.float32) + 0.5) * (255.0 / n_classes)
+        val = val + rng.normal(0, source_noise_u8, size=bands.shape)
+        return np.clip(np.round(val), 0, 255).astype(np.uint8)
+
+    base = os.path.join(root, "train", "seq_00_day", "00")
+    tbase = os.path.join(root, translation_name, "seq_00_day", "00")
+    for i in range(n_train):
+        label, bands = _banded_class_map(rng, hw, n_classes, n_bands)
+        for sub, arr, mode in (
+                ("fl_ir_aligned", target_ir(bands), None),
+                ("fl_rgb_labels", label, "L")):
+            p = os.path.join(base, sub, f"{i:04d}.png")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            Image.fromarray(arr, mode=mode).save(p)
+        _save_rgb(os.path.join(base, "fl_rgb", f"{i:04d}.png"), rng, hw)
+        # translated frames are read verbatim (no resize/column-crop,
+        # data/freiburg.py _load_image translation branch) — write them in
+        # the post-crop geometry the labels land in (cols 150:850 of the
+        # 960-wide raw, load_label), as the real translator does
+        c0, c1 = round(150 * hw[1] / 960), round(850 * hw[1] / 960)
+        p = os.path.join(tbase, "fl_rgb", f"{i:04d}.png")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(source_u8(bands[:, c0:c1]), mode="L").save(p)
+    for i in range(n_test):
+        cls = [(n_bands * i + j) % n_classes for j in range(n_bands)]
+        label, bands = _banded_class_map(rng, hw, n_classes, n_bands,
+                                         classes=rng.permutation(cls))
+        p = os.path.join(root, "test", "day", "ImagesIR", f"{i:04d}_ir.png")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(target_ir(bands)).save(p)
+        lp = os.path.join(root, "test", "day", "SegmentationClass",
+                          f"{i:04d}_rgb.npy")
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        np.save(lp, label)
+    return root
+
+
 def make_kitti_tree(root: str, n: int = 3, seed: int = 2) -> str:
     rng = np.random.default_rng(seed)
     for i in range(n):
