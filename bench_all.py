@@ -476,11 +476,112 @@ def bench_convergence():
     return result
 
 
+def bench_selftrain_gate():
+    """Self-training improvement gate ON THE CHIP, through the real CLIs.
+
+    The north-star axis (BASELINE.json: Freiburg self-train mIoU >= 0.52,
+    self_train_main.py:53) needs real data; this gate proves the SELF-TRAIN
+    MACHINERY moves target mIoU on a constructed domain gap
+    (tests/synthetic.make_selftrain_freiburg_tree): source = clean intensity
+    bands, target = the same rule shifted 0.35 class slots + 0.25-slot sensor
+    noise. Stages, all through the reference-shaped CLIs:
+      1. segmentation_train on the clean translated source frames
+      2. segmentation_evaluate the source model on the shifted target test
+      3. generate_pseudo_label (soft + hard) on the target train split
+      4. cal_prototype on the target train split
+      5. self_train_main (EMA teacher, proto rectification, RCE)
+      6. segmentation_evaluate the adapted best checkpoint
+    Asserts adapted mIoU >= source mIoU + 0.05 and writes SELFTRAIN_GATE.json.
+    """
+    import contextlib
+    import io
+    import os
+    import re
+    import tempfile
+
+    from tests.synthetic import make_selftrain_freiburg_tree
+    from thermal_semantic_segmentation_tpu.cli import (cal_prototype,
+                                                       generate_pseudo_label,
+                                                       segmentation_evaluate,
+                                                       segmentation_train,
+                                                       self_train_main)
+
+    workdir = next((a.split("=", 1)[1] for a in sys.argv
+                    if a.startswith("--workdir=")), None)
+    ctx = (contextlib.nullcontext(workdir) if workdir
+           else tempfile.TemporaryDirectory())
+    with ctx as tmp:
+        root = os.path.join(tmp, "datasets", "freiburg")
+        ckpt_dir = os.path.join(tmp, "ckpt")
+        if not os.path.isdir(root):
+            make_selftrain_freiburg_tree(root, n_train=256, n_test=8, seed=3)
+        common = ["--freiburg_root", root, "--model_root_path", ckpt_dir,
+                  "--layers", "1,1,1,1", "--decode_cache_mb", "2048"]
+        # pseudo-gen and self-train parsers (reference-mirrored) have no
+        # -net_mode flag; both hardcode one_channel
+        net1 = ["-net_mode", "one_channel"]
+
+        def evaluate(ckpt_name):
+            out = io.StringIO()
+            with contextlib.redirect_stdout(out):
+                segmentation_evaluate.main([
+                    "-dataset", "freiburg_ir", "-val_batch_size", "8",
+                    "-checkpoint_name", ckpt_name, *common, *net1])
+            m = re.search(r"mean iou score: \[?([0-9.eE+-]+)\]?",
+                          out.getvalue())
+            assert m, f"no mean iou in eval output:\n{out.getvalue()}"
+            return float(m.group(1))
+
+        t0 = time.perf_counter()
+        if not os.path.exists(os.path.join(ckpt_dir, "selftrain_source.pth")):
+            segmentation_train.main([
+                "-dataset", "freiburg_translation",
+                "-translation_name", "synthetic_translation",
+                "-epochs", "100", "-batch_size", "8", "-val_batch_size", "8",
+                "-lr", "0.003",
+                "-new_checkpoint_name", "selftrain_source.pth",
+                *common, *net1])
+        miou_source = evaluate("selftrain_source.pth")
+        print(json.dumps({"stage": "source", "miou": round(miou_source, 4)}),
+              flush=True)
+
+        for soft, ptype in (("True", "soft"), ("False", "hard")):
+            generate_pseudo_label.main([
+                "--root", tmp, "--soft", soft, "-pseudo_type", ptype,
+                "--flip", "True", "-batch_size", "8",
+                "-checkpoint_name", "selftrain_source.pth", *common])
+        cal_prototype.main([
+            "-root", tmp, "-dataset", "freiburg_ir", "-epochs", "1",
+            "-batch_size", "8", "-max_steps", "32",
+            "-checkpoint_name", "selftrain_source.pth", *common, *net1])
+        self_train_main.main([
+            "--root", tmp, "-checkpoint_name", "selftrain_source.pth",
+            "-new_checkpoint_name", "selftrain_adapted.pth",
+            "-translation_name", "synthetic_translation",
+            "--lr", "0.0003", "--epochs", "4", "--val_interval", "32",
+            "-batch_size", "4", *common])
+        miou_adapted = evaluate(os.path.join(
+            tmp, ckpt_dir, "bestselftrain_adapted.pth"))
+
+    gain = miou_adapted - miou_source
+    result = {"metric": "selftrain_gate_miou_gain", "value": round(gain, 4),
+              "unit": "mIoU", "miou_source": round(miou_source, 4),
+              "miou_adapted": round(miou_adapted, 4),
+              "threshold_gain": 0.05, "passed": gain >= 0.05,
+              "protocol": "256x512, nanmean(iu[:11])",
+              "total_sec": round(time.perf_counter() - t0, 1)}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SELFTRAIN_GATE.json"), "w") as f:
+        f.write(json.dumps(result) + "\n")
+    assert gain >= 0.05, f"self-train gate FAILED: {result}"
+    return result
+
+
 BENCHES = {"seg": bench_seg, "gan": bench_gan, "gan_fused": bench_gan_fused,
            "self_train": bench_self_train, "pseudo": bench_pseudo,
            "eval": bench_eval, "pipeline": bench_pipeline,
            "convergence": bench_convergence, "serve": bench_serve,
-           "loader": bench_loader}
+           "loader": bench_loader, "selftrain_gate": bench_selftrain_gate}
 
 
 def main():

@@ -32,7 +32,9 @@ def export_seg(src: str, dst: str) -> dict:
 
     ckpt = load_checkpoint(src)
     variables = ckpt.pop("variables")
-    sd = {k: torch.from_numpy(np.asarray(v))
+    # np.array (not asarray): msgpack-loaded leaves can be read-only views,
+    # and torch.from_numpy on a non-writable array is undefined behavior
+    sd = {k: torch.from_numpy(np.array(v))
           for k, v in flax_to_torch_state_dict(variables).items()}
     payload = {"sem_net_state_dict": sd}
     for key in ("epoch", "val_loss", "highest_mean_iu"):

@@ -62,7 +62,9 @@ def self_train_main(args, logger):
                                       num_classes=args.num_classes,
                                       num_channels=1, abstract=args.load_model,
                                       dtype=dtype,
-                                      remat=getattr(args, "remat", "none"))
+                                      remat=getattr(args, "remat", "none"),
+                                      layers=getattr(args, "layers",
+                                                     (3, 4, 23, 3)))
     restart_epoch = 0
     if args.load_model:
         variables, meta = load_seg_checkpoint(
