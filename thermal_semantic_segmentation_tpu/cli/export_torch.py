@@ -57,7 +57,9 @@ def export_gan(src: str, dst: str, *, norm: str = "batch",
     ckpt = load_checkpoint(src)
     payload = flax_gan_checkpoint_to_torch(ckpt, norm=norm,
                                            num_downs=num_downs)
-    payload = {k: ({kk: torch.from_numpy(np.asarray(vv))
+    # np.array (not asarray): msgpack-loaded leaves can be read-only views,
+    # and torch.from_numpy on a non-writable array is undefined behavior
+    payload = {k: ({kk: torch.from_numpy(np.array(vv))
                     for kk, vv in v.items()} if isinstance(v, dict) else v)
                for k, v in payload.items()}
     torch.save(payload, dst)
