@@ -336,6 +336,30 @@ def bench_serve():
             assert r.status == 200
             return len(r.read())
 
+    if "--stream" in sys.argv:
+        # ONE client, ONE request: 96 length-prefixed frames through
+        # /segment_stream — no per-image round trips, the streaming reader
+        # fills device batches by itself
+        from thermal_semantic_segmentation_tpu.cli.serve import stream_segment
+        surl = f"http://127.0.0.1:{port}/segment_stream?format=ids"
+        n_requests = 96
+        frames = [payload] * n_requests
+        assert all(s == 0 for s, _ in stream_segment(surl, frames[:16]))
+        b0, r0 = server.batches_run, server.requests_served
+        t = time.perf_counter()
+        results = list(stream_segment(surl, frames))
+        dt = time.perf_counter() - t
+        assert len(results) == n_requests
+        assert all(s == 0 for s, _ in results)
+        coalesce = ((server.requests_served - r0)
+                    / max(server.batches_run - b0, 1))
+        httpd.shutdown()
+        server.stop()
+        return {"metric": "serve_stream_images_per_sec",
+                "value": round(n_requests / dt, 2), "unit": "images/s",
+                "clients": 1, "batch_size": 8,
+                "avg_coalesced_batch": round(coalesce, 2)}
+
     n_clients, n_requests = 16, 96
     with ThreadPoolExecutor(n_clients) as pool:      # warmup round
         list(pool.map(post, range(n_clients)))

@@ -155,6 +155,59 @@ def test_stop_fails_pending_requests_instead_of_hanging():
         srv._queue.get_nowait()
 
 
+def test_stream_endpoint_orders_coalesces_and_isolates_bad_frames(server):
+    """/segment_stream: 9 images + 1 corrupt frame in ONE request. Results
+    come back in request order, the bad frame reports in-band (status 1)
+    without failing the others, and the frames coalesced into device
+    batches (that's the endpoint's point: one client fills batches)."""
+    from thermal_semantic_segmentation_tpu.cli.serve import stream_segment
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(server, {"checkpoint": "st"}))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(7)
+    frames = [_png_bytes(rng.integers(21000, 26000, (40, 120))
+                         .astype(np.uint16)) for _ in range(9)]
+    frames.insert(4, b"this is not an image")
+    before_b, before_r = server.batches_run, server.requests_served
+    try:
+        url = f"http://127.0.0.1:{port}/segment_stream?format=ids"
+        results = list(stream_segment(url, frames))
+    finally:
+        httpd.shutdown()
+    assert [s for s, _ in results] == [0] * 4 + [1] + [0] * 5
+    assert b"bad frame" in results[4][1]
+    for status, payload in results[:4] + results[5:]:
+        ids = np.asarray(Image.open(io.BytesIO(payload)))
+        assert ids.shape == HW and ids.max() < 13
+    served = server.requests_served - before_r
+    ran = server.batches_run - before_b
+    assert served == 9
+    assert ran <= 4, (ran, served)  # 9 submissions into batch-4 coalesced
+
+
+def test_stream_malformed_framing_is_400(server):
+    import struct
+    import urllib.error
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(server, {"checkpoint": "st"}))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        # frame header claims more bytes than the body carries
+        body = struct.pack(">Q", 10_000) + b"short"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/segment_stream", data=body,
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=30)
+        assert err.value.code == 400
+    finally:
+        httpd.shutdown()
+
+
 def test_http_surface(server):
     httpd = ThreadingHTTPServer(("127.0.0.1", 0),
                                 make_handler(server, {"checkpoint": "test"}))

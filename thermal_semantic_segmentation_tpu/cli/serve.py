@@ -13,10 +13,23 @@ Endpoints:
   POST /segment            -> palette PNG of the predicted classes
   POST /segment?format=ids -> 8-bit PNG of raw class ids
   POST /segment?format=json-> {"class_counts": {...}, "shape": [H, W]}
+  POST /segment_stream     -> many images in ONE request, results streamed
+                              back as they complete (chunked encoding)
 
 Input: PNG/JPEG bytes. 16-bit images get the Freiburg IR radiometric window
 (data/freiburg.py); 8-bit images are scaled to [0,1]. Everything is resized
 to the model's 256x512 protocol resolution (eval transform semantics).
+
+Streaming wire format (``/segment_stream``, same ``format=`` query as
+``/segment``): the request body is a sequence of frames, each
+``8-byte big-endian length || image bytes``. Every frame is submitted to the
+micro-batcher immediately on arrival, so one streaming client saturates the
+device batches without needing concurrent connections. The response is
+HTTP/1.1 chunked; inside the stream each result is one frame of
+``1 status byte || 8-byte big-endian length || payload`` in request order,
+where status 0 = ok (payload is the PNG/JSON result), 1 = bad frame
+(payload is the error message; other frames are unaffected), 2 = inference
+error. ``stream_segment()`` below is a reference client.
 
 Stdlib only (ThreadingHTTPServer) — no web framework dependency.
 """
@@ -27,6 +40,7 @@ import argparse
 import io
 import json
 import queue
+import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -206,12 +220,68 @@ class InferenceServer:
                     out.put(e)
 
 
+def encode_result(pred: np.ndarray, fmt: str, palette) -> tuple:
+    """(H, W) uint8 class ids -> (payload bytes, content type) per ``fmt``."""
+    if fmt == "json":
+        ids, counts = np.unique(pred, return_counts=True)
+        body = json.dumps({
+            "class_counts": {int(i): int(c) for i, c in zip(ids, counts)},
+            "shape": list(pred.shape)}).encode()
+        return body, "application/json"
+    from PIL import Image
+
+    from ..data.palette import colorize_prediction
+
+    buf = io.BytesIO()
+    if fmt == "ids":
+        Image.fromarray(pred.astype(np.uint8), mode="L").save(buf,
+                                                              format="PNG")
+    else:
+        colorize_prediction(pred, palette).save(buf, format="PNG")
+    return buf.getvalue(), "image/png"
+
+
+def _read_exact(fp, n: int) -> bytes:
+    parts = []
+    while n:
+        chunk = fp.read(n)
+        if not chunk:
+            raise EOFError(f"stream truncated ({n} bytes short)")
+        parts.append(chunk)
+        n -= len(chunk)
+    return b"".join(parts)
+
+
+def stream_segment(url: str, images, timeout: float = 300.0):
+    """Reference client for ``POST /segment_stream``.
+
+    ``images`` is an iterable of encoded image bytes; yields
+    (status, payload) per input in order — status 0 ok, 1 bad frame,
+    2 inference error."""
+    import urllib.request
+
+    body = b"".join(struct.pack(">Q", len(b)) + b for b in images)
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        while True:
+            head = resp.read(1)
+            if not head:
+                return
+            (length,) = struct.unpack(">Q", _read_exact(resp, 8))
+            yield head[0], _read_exact(resp, length)
+
+
 def make_handler(server: InferenceServer, model_info: dict):
-    from ..data.palette import colorize_prediction, freiburg_palette
+    from ..data.palette import freiburg_palette
 
     palette = freiburg_palette()
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 enables chunked responses for /segment_stream (and
+        # keep-alive for the fixed-length endpoints, which all set
+        # Content-Length)
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -233,13 +303,18 @@ def make_handler(server: InferenceServer, model_info: dict):
 
         def do_POST(self):
             path, _, query = self.path.partition("?")
-            if path != "/segment":
-                self._send(404, b"not found", "text/plain")
-                return
             fmt = "palette"
             for part in query.split("&"):
                 if part.startswith("format="):
                     fmt = part.split("=", 1)[1]
+            if path == "/segment":
+                self._segment_one(fmt)
+            elif path == "/segment_stream":
+                self._segment_stream(fmt)
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def _segment_one(self, fmt):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 pred = server.segment(self.rfile.read(length))
@@ -249,22 +324,65 @@ def make_handler(server: InferenceServer, model_info: dict):
             except Exception as e:
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
                 return
-            if fmt == "json":
-                ids, counts = np.unique(pred, return_counts=True)
-                body = json.dumps({
-                    "class_counts": {int(i): int(c)
-                                     for i, c in zip(ids, counts)},
-                    "shape": list(pred.shape)}).encode()
-                self._send(200, body, "application/json")
+            body, ctype = encode_result(pred, fmt, palette)
+            self._send(200, body, ctype)
+
+        def _segment_stream(self, fmt):
+            # Read `8-byte len || image` frames, submitting each to the
+            # micro-batcher AS IT ARRIVES (frames from one request coalesce
+            # into device batches with each other and with other clients),
+            # then stream per-frame results back in order via chunked
+            # encoding. Per-frame failures travel in-band (status byte) so
+            # one bad image doesn't fail the request.
+            remaining = int(self.headers.get("Content-Length", 0))
+            pending = []  # (result queue | (status, payload)) per frame
+            try:
+                while remaining:
+                    if remaining < 8:
+                        raise ValueError("truncated frame header")
+                    (length,) = struct.unpack(">Q",
+                                              _read_exact(self.rfile, 8))
+                    remaining -= 8
+                    if length > remaining:
+                        raise ValueError("frame length exceeds body")
+                    data = _read_exact(self.rfile, length)
+                    remaining -= length
+                    try:
+                        arr = preprocess(data, server.label_hw,
+                                         server.channels)
+                    except Exception as e:  # bad frame: report in-band
+                        pending.append((1, f"bad frame: {e}".encode()))
+                        continue
+                    pending.append(server.submit(arr))
+            except Exception as e:
+                # malformed framing: nothing streamed yet -> plain 400.
+                # The body was not fully read, so this connection cannot be
+                # reused for a next keep-alive request.
+                self.close_connection = True
+                for item in pending:
+                    if isinstance(item, queue.Queue):
+                        item.get()  # drain; device work is already queued
+                self._send(400, f"bad request: {e}".encode(), "text/plain")
                 return
-            from PIL import Image
-            buf = io.BytesIO()
-            if fmt == "ids":
-                Image.fromarray(pred.astype(np.uint8), mode="L").save(
-                    buf, format="PNG")
-            else:
-                colorize_prediction(pred, palette).save(buf, format="PNG")
-            self._send(200, buf.getvalue(), "image/png")
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for item in pending:
+                if isinstance(item, queue.Queue):
+                    result = item.get()
+                    if isinstance(result, Exception):
+                        status, payload = 2, str(result).encode()
+                    else:
+                        status, payload = 0, encode_result(result, fmt,
+                                                           palette)[0]
+                else:
+                    status, payload = item
+                frame = bytes([status]) + struct.pack(">Q",
+                                                      len(payload)) + payload
+                self.wfile.write(f"{len(frame):X}\r\n".encode() + frame
+                                 + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
 
     return Handler
 
