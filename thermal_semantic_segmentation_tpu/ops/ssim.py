@@ -21,15 +21,23 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _filter_valid(x: jax.Array, win: np.ndarray) -> jax.Array:
-    """Separable depthwise gaussian filtering, VALID padding. x: (N,H,W,C)."""
+    """Separable depthwise gaussian filtering, VALID padding. x: (N,H,W,C).
+
+    precision='highest' is load-bearing: TPU convs default to bf16 inputs,
+    and the SSIM variance terms are catastrophic cancellations
+    (E[x^2] - E[x]^2) whose operands agree to ~3 decimal digits — at bf16
+    the 'variances' come out as noise (can go strongly negative) and the
+    SSIM map explodes above 1 (observed: 'SSIM' 6.8 on chip for
+    near-constant translations, correct [0, 1] on CPU)."""
     c = x.shape[-1]
     kh = jnp.asarray(np.tile(win[:, None, None, None], (1, 1, 1, c)))
     kw = jnp.asarray(np.tile(win[None, :, None, None], (1, 1, 1, c)))
     dn = ("NHWC", "HWIO", "NHWC")
     y = lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn,
-                                 feature_group_count=c)
+                                 feature_group_count=c, precision="highest")
     return lax.conv_general_dilated(y, kw, (1, 1), "VALID", dimension_numbers=dn,
-                                    feature_group_count=c)
+                                    feature_group_count=c,
+                                    precision="highest")
 
 
 def ssim(x: jax.Array, y: jax.Array, *, data_range: float = 1.0,
