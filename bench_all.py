@@ -205,7 +205,8 @@ def bench_pseudo():
 def bench_eval():
     from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
     from thermal_semantic_segmentation_tpu.train.seg import build_seg_eval_step
-    B = 8
+    B = next((int(a.split("=")[1]) for a in sys.argv
+              if a.startswith("--batch=")), 8)
     model, variables = create_deeplab(jax.random.key(0), num_classes=13,
                                       num_channels=1, dtype=jnp.bfloat16,
                                       image_size=HW)
@@ -601,11 +602,104 @@ def bench_selftrain_gate():
     return result
 
 
+def bench_gan_gate():
+    """GAN translation-quality gate ON THE CHIP, through the real CLIs.
+
+    The reference's translation axis (distance_evaluate.py protocol: L1 +
+    SSIM between translated frames and the pixel-aligned real IR) gets its
+    first quantitative evidence here: unpaired CycleGAN training on
+    tests/synthetic.make_gan_freiburg_tree — fixed-order intensity bands
+    whose construction makes the pixel-aligned color->intensity map the
+    only optimum of adversarial + cycle losses (see the tree's docstring).
+    Stages, all through the reference-shaped CLIs:
+      1. main (-max_steps 1): an effectively-untrained baseline checkpoint
+      2. translator + distance_evaluate -> baseline L1/SSIM
+      3. main -load_model true, num_epoch more epochs of real training
+      4. translator + distance_evaluate -> trained L1/SSIM
+    Asserts trained L1 <= 0.5 * baseline L1 and writes GAN_GATE.json.
+    """
+    import contextlib
+    import os
+    import tempfile
+
+    from tests.synthetic import make_gan_freiburg_tree
+    from thermal_semantic_segmentation_tpu.cli import (distance_evaluate,
+                                                       main as gan_main_cli,
+                                                       translator)
+
+    workdir = next((a.split("=", 1)[1] for a in sys.argv
+                    if a.startswith("--workdir=")), None)
+    epochs = next((a.split("=", 1)[1] for a in sys.argv
+                   if a.startswith("--epochs=")), "20")
+    ctx = (contextlib.nullcontext(workdir) if workdir
+           else tempfile.TemporaryDirectory())
+    with ctx as tmp:
+        root = os.path.join(tmp, "datasets", "freiburg")
+        ckpt_dir = os.path.join(tmp, "ckpt")
+        if not os.path.isdir(root):
+            make_gan_freiburg_tree(root, n_train=512, seed=5)
+        common = ["--freiburg_root", root, "--gan_model_root_path", ckpt_dir,
+                  "--bf16", "true", "--decode_cache_mb", "4096"]
+        train_common = ["-source_dataset", "freiburg_rgb",
+                        "-target_dataset", "freiburg_ir",
+                        "-batch_size", "8",
+                        "-checkpoint_name", "g_gate.pth",
+                        "-new_checkpoint_name", "g_gate.pth", *common]
+
+        def translate_and_measure():
+            translator.main(["-dataset", "freiburg_rgb", "-batch_size", "8",
+                             "-checkpoint_name", "g_gate.pth",
+                             "-input_nc", "3", "-output_nc", "1",
+                             "-save_image_size", "320", "700",
+                             "-translation_name_suffix", "", *common])
+            # translated frames land under <root>/translation/... so the
+            # distance CLI reads them via checkpoint_name 'translation.pth'
+            l1, ssim = distance_evaluate.main(
+                ["-checkpoint_name", "translation.pth", "-batch_size", "8",
+                 *common])
+            return float(l1), float(ssim)
+
+        t0 = time.perf_counter()
+        baseline_file = os.path.join(tmp, "baseline.json")
+        if os.path.exists(baseline_file):
+            with open(baseline_file) as f:
+                b = json.load(f)
+            l1_0, ssim_0 = b["l1"], b["ssim"]
+        else:
+            gan_main_cli.main(["-num_epoch", "1", "-max_steps", "1",
+                               *train_common])
+            l1_0, ssim_0 = translate_and_measure()
+            with open(baseline_file, "w") as f:
+                json.dump({"l1": l1_0, "ssim": ssim_0}, f)
+        print(json.dumps({"stage": "baseline", "l1": round(l1_0, 4),
+                          "ssim": round(ssim_0, 4)}), flush=True)
+        gan_main_cli.main(["-load_model", "true", "-num_epoch", epochs,
+                           "-save_interval", "1000", *train_common])
+        l1_1, ssim_1 = translate_and_measure()
+
+    result = {"metric": "gan_gate_l1_ratio",
+              "value": round(l1_1 / max(l1_0, 1e-9), 4), "unit": "ratio",
+              "l1_baseline": round(l1_0, 4), "l1_trained": round(l1_1, 4),
+              "ssim_baseline": round(ssim_0, 4),
+              "ssim_trained": round(ssim_1, 4),
+              "threshold_ratio": 0.5, "passed": l1_1 <= 0.5 * l1_0,
+              "protocol": "distance_evaluate (L1+SSIM vs aligned real IR, "
+                          "seed-42 20% val split)",
+              "epochs": int(epochs),
+              "total_sec": round(time.perf_counter() - t0, 1)}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "GAN_GATE.json"), "w") as f:
+        f.write(json.dumps(result) + "\n")
+    assert result["passed"], f"GAN gate FAILED: {result}"
+    return result
+
+
 BENCHES = {"seg": bench_seg, "gan": bench_gan, "gan_fused": bench_gan_fused,
            "self_train": bench_self_train, "pseudo": bench_pseudo,
            "eval": bench_eval, "pipeline": bench_pipeline,
            "convergence": bench_convergence, "serve": bench_serve,
-           "loader": bench_loader, "selftrain_gate": bench_selftrain_gate}
+           "loader": bench_loader, "selftrain_gate": bench_selftrain_gate,
+           "gan_gate": bench_gan_gate}
 
 
 def main():

@@ -73,7 +73,8 @@ def make_cityscapes_tree(root: str, n: int = 3, data_folder: str = "leftImg8bit"
 
 
 def _banded_class_map(rng, shape, n_classes=13, n_bands=6,
-                      boundary_ignore=10, ignore_index=12, classes=None):
+                      boundary_ignore=10, ignore_index=12, classes=None,
+                      alphas=None):
     """Piecewise-constant vertical class bands (distinct classes, random
     order/widths), with an ``ignore_index`` strip carved over each interior
     boundary of the LABEL.
@@ -93,7 +94,9 @@ def _banded_class_map(rng, shape, n_classes=13, n_bands=6,
     else:
         order = rng.choice(n_classes, size=min(n_bands, n_classes),
                            replace=False)
-    widths = rng.dirichlet(np.full(len(order), 5.0)) * w
+    if alphas is None:
+        alphas = np.full(len(order), 5.0)
+    widths = rng.dirichlet(alphas) * w
     edges = np.concatenate([[0], np.round(np.cumsum(widths))]).astype(int)
     edges[-1] = w
     bands = np.zeros((h, w), np.uint8)
@@ -229,6 +232,61 @@ def make_selftrain_freiburg_tree(root: str, n_train: int = 256, n_test: int = 8,
                           f"{i:04d}_rgb.npy")
         os.makedirs(os.path.dirname(lp), exist_ok=True)
         np.save(lp, label)
+    return root
+
+
+# distinct saturated hues, one per band index (GAN gate tree)
+_GAN_PALETTE = np.array([[200, 40, 40], [40, 200, 40], [40, 80, 220],
+                         [220, 200, 40], [160, 40, 200]], np.float32)
+
+
+def make_gan_freiburg_tree(root: str, n_train: int = 512, seed: int = 0,
+                           hw=(320, 960), n_bands: int = 5,
+                           noise_slots: float = 0.15,
+                           rgb_noise: float = 3.0) -> str:
+    """Freiburg tree with pixel-ALIGNED rgb/ir pairs whose mapping an
+    unpaired CycleGAN must recover — the GAN translation-quality gate's
+    dataset.
+
+    Every frame is vertical bands in the FIXED class order 0..n_bands-1
+    (only the edge positions vary): rgb renders band k as palette color k,
+    ir renders it as intensity slot k of the radiometric window, and band
+    k's expected WIDTH grows with k (dirichlet alphas proportional to k+1,
+    so slot-4 bands average 5x wider than slot-0 ones).
+
+    The width law is what breaks the intensity-permutation symmetry that
+    unpaired losses cannot otherwise see. Monotone band ORDER alone is NOT
+    enough: the training transform's RandomHorizontalFlip makes increasing and
+    decreasing orders equally 'real', and a first gate run converged to the
+    exactly INVERTED map (trained L1 0.359 vs 0.186 for constant gray —
+    bands perfect, intensities mirrored). Width-vs-brightness correlation
+    is flip-invariant: real target patches with two visible edges (narrow
+    bands) are predominantly dark, so a permuted generator mapping wide
+    source bands to dark slots is locally detectable by the PatchGAN, and
+    the cycle loss pins edges to the source's — making the pixel-aligned
+    color->intensity map the only optimum. distance_evaluate's L1 against
+    the real aligned IR (reference distance_evaluate.py protocol) then
+    measures translation correctness directly."""
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "train", "seq_00_day", "00")
+    span = (25000.0 - 21800.0) / n_bands
+    for i in range(n_train):
+        label, bands = _banded_class_map(rng, hw, n_classes=n_bands,
+                                         n_bands=n_bands,
+                                         classes=np.arange(n_bands),
+                                         alphas=2.0 * (np.arange(n_bands) + 1))
+        raw = (21800.0 + (bands.astype(np.float32) + 0.5) * span
+               + rng.normal(0, noise_slots * span, hw).astype(np.float32))
+        ir = np.clip(raw, 21800, 25000).astype(np.uint16)
+        rgb = (_GAN_PALETTE[bands]
+               + rng.normal(0, rgb_noise, (*hw, 3)).astype(np.float32))
+        rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+        for sub, arr, mode in (("fl_ir_aligned", ir, None),
+                               ("fl_rgb", rgb, None),
+                               ("fl_rgb_labels", label, "L")):
+            p = os.path.join(base, sub, f"{i:04d}.png")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            Image.fromarray(arr, mode=mode).save(p)
     return root
 
 

@@ -222,12 +222,16 @@ def gan_main(args):
                     epoch_counter_ratio.append(epoch + i / max(n_batches, 1))
                     plotter.plot_loss(epoch_counter_ratio, loss_dict)
 
-        save_checkpoint(ckpt_path if args.new_checkpoint_name == args.checkpoint_name
-                        else os.path.join(args.gan_model_root_path,
-                                          args.new_checkpoint_name),
-                        {"epoch": epoch,
-                         "g_vars": _materialize_gan_vars(state, g_vars, "g"),
-                         "d_vars": _materialize_gan_vars(state, d_vars, "d")})
+        last = epoch == restart_epoch + args.num_epoch - 1
+        if last or (epoch - restart_epoch + 1) % getattr(
+                args, "save_interval", 1) == 0:
+            save_checkpoint(
+                ckpt_path if args.new_checkpoint_name == args.checkpoint_name
+                else os.path.join(args.gan_model_root_path,
+                                  args.new_checkpoint_name),
+                {"epoch": epoch,
+                 "g_vars": _materialize_gan_vars(state, g_vars, "g"),
+                 "d_vars": _materialize_gan_vars(state, d_vars, "d")})
     return state
 
 

@@ -130,6 +130,13 @@ def train_parse():
     parser.add_argument('-log_interval', type=int, default=10)
     parser.add_argument('-max_steps', type=int, default=0,
                         help='debug: cap steps per epoch (0 = unlimited).')
+    parser.add_argument('-save_interval', type=int, default=1,
+                        help='checkpoint every N epochs (the final epoch '
+                             'always saves). The reference saves every epoch '
+                             '(train.py:262-270) — that is the default — but '
+                             'a GAN checkpoint is ~450 MB and on a slow '
+                             'host link the per-epoch fetch can dominate '
+                             'short epochs.')
     _add_roots(parser)
     return parser
 
