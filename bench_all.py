@@ -464,19 +464,26 @@ def bench_convergence():
     # machinery, is the slow part), with the plateau scheduler supplying the
     # late LR drop. Wide bands (n_bands=3) + boundary-ignore strips keep the
     # resize-interpolation ramps out of the supervision.
-    epochs = 100
+    epochs = next((a.split("=", 1)[1] for a in sys.argv
+                   if a.startswith("--epochs=")), "100")
+    layers = next((a.split("=", 1)[1] for a in sys.argv
+                   if a.startswith("--layers=")), "1,1,1,1")
+    # 3e-3 tuned for the tiny backbone; the full ResNet101 needs a tamer LR
+    lr = next((a.split("=", 1)[1] for a in sys.argv
+               if a.startswith("--lr=")), "0.003")
     with tempfile.TemporaryDirectory() as tmp:
         root = os.path.join(tmp, "datasets", "freiburg")
         make_learnable_freiburg_tree(root, n_train=256, n_test=8, seed=3,
                                      n_bands=3)
         common = ["--freiburg_root", root,
                   "--model_root_path", os.path.join(tmp, "ckpt"),
-                  "--layers", "1,1,1,1", "--decode_cache_mb", "1024",
+                  "--layers", layers, "--decode_cache_mb", "1024",
                   "-net_mode", "one_channel"]
         t = time.perf_counter()
         segmentation_train.main([
-            "-dataset", "freiburg_ir", "-epochs", str(epochs),
-            "-batch_size", "8", "-val_batch_size", "8", "-lr", "0.003",
+            "-dataset", "freiburg_ir", "-epochs", epochs,
+            "-batch_size", "8", "-val_batch_size", "8", "-lr", lr,
+            "--bf16", "true",
             "-new_checkpoint_name", "convergence_gate.pth", *common])
         train_sec = time.perf_counter() - t
         out = io.StringIO()
@@ -491,7 +498,7 @@ def bench_convergence():
         miou = float(m.group(1))
     result = {"metric": "synthetic_convergence_miou", "value": round(miou, 4),
               "unit": "mIoU", "threshold": 0.9, "passed": miou >= 0.9,
-              "epochs": epochs, "layers": "1,1,1,1",
+              "epochs": int(epochs), "layers": layers, "bf16": True,
               "protocol": "256x512, nanmean(iu[:11])",
               "train_sec": round(train_sec, 1)}
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
