@@ -187,6 +187,31 @@ def test_stream_endpoint_orders_coalesces_and_isolates_bad_frames(server):
     assert ran <= 4, (ran, served)  # 9 submissions into batch-4 coalesced
 
 
+def test_stream_long_request_bounds_pending(server):
+    """40 frames through the batch-4 server exceed MAX_PENDING (16): the
+    handler must finalize old frames early (bounding decoded-frame memory)
+    while still returning every result in request order."""
+    from thermal_semantic_segmentation_tpu.cli.serve import stream_segment
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(server, {"checkpoint": "st"}))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(8)
+    frames = [_png_bytes(rng.integers(21000, 26000, (40, 120))
+                         .astype(np.uint16)) for _ in range(40)]
+    try:
+        url = f"http://127.0.0.1:{port}/segment_stream?format=ids"
+        results = list(stream_segment(url, frames))
+    finally:
+        httpd.shutdown()
+    assert len(results) == 40
+    assert all(s == 0 for s, _ in results)
+    for _, payload in results[:2] + results[-2:]:
+        ids = np.asarray(Image.open(io.BytesIO(payload)))
+        assert ids.shape == HW and ids.max() < 13
+
+
 def test_stream_malformed_framing_is_400(server):
     import struct
     import urllib.error

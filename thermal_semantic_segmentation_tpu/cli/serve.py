@@ -123,6 +123,10 @@ class InferenceServer:
         self._variables = jax.device_put(variables)
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        # serializes submit()'s stop-check-then-put against stop()'s final
+        # drain: without it a submit could check, lose the CPU, and enqueue
+        # after both shutdown drains ran — its waiter would never be answered
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self.batches_run = 0
         self.requests_served = 0
@@ -140,23 +144,26 @@ class InferenceServer:
         self._queue.put(None)
         if self._worker.ident is not None:  # started
             self._worker.join(timeout=5)
-        # close the submit()-raced-with-drain window: anything enqueued after
-        # the worker's own drain gets failed here
-        while True:
-            try:
-                item = self._queue.get_nowait()
-            except queue.Empty:
-                return
-            if item is not None:
-                item[1].put(InferenceError("server stopped"))
+        # final drain under the submit lock: every submit either enqueued
+        # before this drain (and gets failed here) or observes _stop set
+        # inside the lock (and fails itself) — no waiter can be orphaned
+        with self._submit_lock:
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    return
+                if item is not None:
+                    item[1].put(InferenceError("server stopped"))
 
     def submit(self, arr: np.ndarray) -> "queue.Queue":
         """Enqueue one (H, W, 1) image; returns a single-item result queue."""
         out: queue.Queue = queue.Queue(maxsize=1)
-        if self._stop.is_set():
-            out.put(InferenceError("server stopped"))
-            return out
-        self._queue.put((arr, out))
+        with self._submit_lock:
+            if self._stop.is_set():
+                out.put(InferenceError("server stopped"))
+                return out
+            self._queue.put((arr, out))
         return out
 
     def segment(self, image_bytes: bytes) -> np.ndarray:
@@ -334,7 +341,27 @@ def make_handler(server: InferenceServer, model_info: dict):
             # then stream per-frame results back in order via chunked
             # encoding. Per-frame failures travel in-band (status byte) so
             # one bad image doesn't fail the request.
+            #
+            # Memory bound: at most MAX_PENDING decoded frames are in
+            # flight; beyond that the oldest frame is finalized (inference
+            # awaited, result ENCODED, raw arrays freed) before reading
+            # more, so an arbitrarily long stream holds encoded results
+            # (KBs each) instead of decoded float frames (~512 KB each).
+            # Results are NOT written before the body is fully read — a
+            # single-threaded client that uploads everything before reading
+            # (e.g. urllib) would deadlock against a full-duplex server.
+            MAX_PENDING = 4 * server.batch_size
+
+            def finalize(item):
+                if isinstance(item, queue.Queue):
+                    result = item.get()
+                    if isinstance(result, Exception):
+                        return 2, str(result).encode()
+                    return 0, encode_result(result, fmt, palette)[0]
+                return item
+
             remaining = int(self.headers.get("Content-Length", 0))
+            done = []     # finalized (status, payload), in request order
             pending = []  # (result queue | (status, payload)) per frame
             try:
                 while remaining:
@@ -354,6 +381,8 @@ def make_handler(server: InferenceServer, model_info: dict):
                         pending.append((1, f"bad frame: {e}".encode()))
                         continue
                     pending.append(server.submit(arr))
+                    while len(pending) > MAX_PENDING:
+                        done.append(finalize(pending.pop(0)))
             except Exception as e:
                 # malformed framing: nothing streamed yet -> plain 400.
                 # The body was not fully read, so this connection cannot be
@@ -368,21 +397,18 @@ def make_handler(server: InferenceServer, model_info: dict):
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
+            for status, payload in done:
+                self._write_stream_frame(status, payload)
             for item in pending:
-                if isinstance(item, queue.Queue):
-                    result = item.get()
-                    if isinstance(result, Exception):
-                        status, payload = 2, str(result).encode()
-                    else:
-                        status, payload = 0, encode_result(result, fmt,
-                                                           palette)[0]
-                else:
-                    status, payload = item
-                frame = bytes([status]) + struct.pack(">Q",
-                                                      len(payload)) + payload
-                self.wfile.write(f"{len(frame):X}\r\n".encode() + frame
-                                 + b"\r\n")
+                status, payload = finalize(item)
+                self._write_stream_frame(status, payload)
             self.wfile.write(b"0\r\n\r\n")
+
+        def _write_stream_frame(self, status, payload):
+            frame = bytes([status]) + struct.pack(">Q",
+                                                  len(payload)) + payload
+            self.wfile.write(f"{len(frame):X}\r\n".encode() + frame
+                             + b"\r\n")
 
     return Handler
 
