@@ -21,6 +21,40 @@ sys.path.insert(0, ".")
 HW = (256, 512)
 
 
+def _evaluate_miou(eval_args):
+    """Run the segmentation_evaluate CLI and parse its mean-iou line —
+    shared by every accuracy gate (the reference output format,
+    segmentation_evaluate.py:88-94, is the single source of truth)."""
+    import contextlib
+    import io
+    import re
+
+    from thermal_semantic_segmentation_tpu.cli import segmentation_evaluate
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        segmentation_evaluate.main(list(eval_args))
+    m = re.search(r"mean iou score: \[?([0-9.eE+-]+)\]?", out.getvalue())
+    assert m, f"no mean iou in eval output:\n{out.getvalue()}"
+    return float(m.group(1))
+
+
+def _gan_checkpoint_trained(path, min_epoch: int = 5) -> bool:
+    """True only if a GAN checkpoint exists AND carries enough trained
+    epochs — a crashed gate workdir can hold an effectively-untrained
+    1-step baseline checkpoint under the same name."""
+    import os
+
+    if not os.path.exists(path):
+        return False
+    from thermal_semantic_segmentation_tpu.core.checkpoint import \
+        load_checkpoint
+    try:
+        return int(load_checkpoint(path)["epoch"]) >= min_epoch
+    except Exception:
+        return False
+
+
 def _sync(x):
     return float(jnp.sum(x))  # host fetch: the only reliable axon sync
 
@@ -252,16 +286,8 @@ def bench_pipeline():
         from thermal_semantic_segmentation_tpu.data.cache import set_decode_cache
         set_decode_cache(2048)
     with tempfile.TemporaryDirectory() as root:
-        # full-size frames: patch the tree builder's default 40x120 shape
-        import tests.synthetic as synth
-        save_u16, save_rgb, save_label = synth._save_u16, synth._save_rgb, synth._save_label
-        synth._save_u16 = lambda p, r, shape=(320, 960): save_u16(p, r, shape)
-        synth._save_rgb = lambda p, r, shape=(320, 960): save_rgb(p, r, shape)
-        synth._save_label = lambda p, r, shape=(320, 960), **kw: save_label(p, r, shape, **kw)
-        try:
-            make_freiburg_tree(root, n_train=48, n_test=1)
-        finally:
-            synth._save_u16, synth._save_rgb, synth._save_label = save_u16, save_rgb, save_label
+        # full-size frames (the real aligned-IR raw geometry)
+        make_freiburg_tree(root, n_train=48, n_test=1, hw=(320, 960))
 
         if device_aug:
             from thermal_semantic_segmentation_tpu.data import transforms as T
@@ -394,18 +420,7 @@ def bench_loader():
     B, n = 8, 48
     with tempfile.TemporaryDirectory() as root, \
             tempfile.TemporaryDirectory() as disk:
-        import tests.synthetic as synth
-        save_u16, save_rgb, save_label = (synth._save_u16, synth._save_rgb,
-                                          synth._save_label)
-        synth._save_u16 = lambda p, r, shape=(320, 960): save_u16(p, r, shape)
-        synth._save_rgb = lambda p, r, shape=(320, 960): save_rgb(p, r, shape)
-        synth._save_label = lambda p, r, shape=(320, 960), **kw: save_label(
-            p, r, shape, **kw)
-        try:
-            make_freiburg_tree(root, n_train=n, n_test=1)
-        finally:
-            synth._save_u16, synth._save_rgb, synth._save_label = (
-                save_u16, save_rgb, save_label)
+        make_freiburg_tree(root, n_train=n, n_test=1, hw=(320, 960))
         ds = Freiburg(root, "train", "IR", transforms=train_transform(),
                       with_label=True)
 
@@ -486,16 +501,9 @@ def bench_convergence():
             "--bf16", "true",
             "-new_checkpoint_name", "convergence_gate.pth", *common])
         train_sec = time.perf_counter() - t
-        out = io.StringIO()
-        with contextlib.redirect_stdout(out):
-            segmentation_evaluate.main([
-                "-dataset", "freiburg_ir",
-                "-checkpoint_name", "convergence_gate.pth", *common])
-        text = out.getvalue()
-        print(text)
-        m = re.search(r"mean iou score: \[([0-9.eE+-]+)\]", text)
-        assert m, f"no mean iou in eval output:\n{text}"
-        miou = float(m.group(1))
+        miou = _evaluate_miou(["-dataset", "freiburg_ir",
+                               "-checkpoint_name", "convergence_gate.pth",
+                               *common])
     result = {"metric": "synthetic_convergence_miou", "value": round(miou, 4),
               "unit": "mIoU", "threshold": 0.9, "passed": miou >= 0.9,
               "epochs": int(epochs), "layers": layers, "bf16": True,
@@ -554,15 +562,10 @@ def bench_selftrain_gate():
         net1 = ["-net_mode", "one_channel"]
 
         def evaluate(ckpt_name):
-            out = io.StringIO()
-            with contextlib.redirect_stdout(out):
-                segmentation_evaluate.main([
-                    "-dataset", "freiburg_ir", "-val_batch_size", "8",
-                    "-checkpoint_name", ckpt_name, *common, *net1])
-            m = re.search(r"mean iou score: \[?([0-9.eE+-]+)\]?",
-                          out.getvalue())
-            assert m, f"no mean iou in eval output:\n{out.getvalue()}"
-            return float(m.group(1))
+            return _evaluate_miou(["-dataset", "freiburg_ir",
+                                   "-val_batch_size", "8",
+                                   "-checkpoint_name", ckpt_name,
+                                   *common, *net1])
 
         t0 = time.perf_counter()
         if not os.path.exists(os.path.join(ckpt_dir, "selftrain_source.pth")):
@@ -592,8 +595,8 @@ def bench_selftrain_gate():
             "-translation_name", "synthetic_translation",
             "--lr", "0.0003", "--epochs", "4", "--val_interval", "32",
             "-batch_size", "4", *common])
-        miou_adapted = evaluate(os.path.join(
-            tmp, ckpt_dir, "bestselftrain_adapted.pth"))
+        miou_adapted = evaluate(os.path.join(ckpt_dir,
+                                             "bestselftrain_adapted.pth"))
 
     gain = miou_adapted - miou_source
     result = {"metric": "selftrain_gate_miou_gain", "value": round(gain, 4),
@@ -701,12 +704,146 @@ def bench_gan_gate():
     return result
 
 
+def bench_pipeline_gate():
+    """FULL-RECIPE integration gate ON THE CHIP: every stage of the
+    reference workflow stitched end-to-end through the CLIs, with a final
+    quantitative mIoU gate — the dress rehearsal for running
+    recipes/full_pipeline.sh with MIN_MIOU=0.52 the day real data mounts.
+
+    On tests/synthetic.make_gan_freiburg_tree (aligned rgb/ir band pairs,
+    5 classes, GAN-learnable by construction — see the GAN gate):
+      1. main: unpaired CycleGAN rgb->ir                 (reused if present)
+      2. translator: translate the 512 source frames    (reused if present)
+      3. segmentation_train on the TRANSLATED frames + source labels
+      4. segmentation_evaluate on the real-IR test split -> miou_seg
+      5. generate_pseudo_label (soft + hard, flip TTA) on real IR
+      6. cal_prototype on real IR
+      7. self_train_main (EMA teacher, proto rectification, RCE)
+      8. segmentation_evaluate the adapted best ckpt -> miou_final
+    Gate: miou_final >= 0.75 AND miou_final >= miou_seg - 0.05 (the five
+    trained classes score; a stray prediction in any never-labeled class
+    pulls nanmean(iu[:11]) down — that is the reference metric's real
+    behavior, kept). Writes PIPELINE_GATE.json. Pass --workdir= to reuse
+    the GAN-gate workdir (stages 1-2 skip if their outputs exist).
+    """
+    import contextlib
+    import io
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from tests.synthetic import make_gan_freiburg_tree
+    from thermal_semantic_segmentation_tpu.cli import (cal_prototype,
+                                                       generate_pseudo_label,
+                                                       main as gan_main_cli,
+                                                       segmentation_evaluate,
+                                                       segmentation_train,
+                                                       self_train_main,
+                                                       translator)
+
+    workdir = next((a.split("=", 1)[1] for a in sys.argv
+                    if a.startswith("--workdir=")), None)
+    ctx = (contextlib.nullcontext(workdir) if workdir
+           else tempfile.TemporaryDirectory())
+    with ctx as tmp:
+        root = os.path.join(tmp, "datasets", "freiburg")
+        ckpt_dir = os.path.join(tmp, "ckpt")
+        if not os.path.isdir(root):
+            make_gan_freiburg_tree(root, n_train=512, n_test=8, seed=5)
+        elif not os.path.isdir(os.path.join(root, "test")):
+            # a GAN-gate workdir: add the test split, drop stale manifests
+            make_gan_freiburg_tree(root, n_train=0, n_test=8, seed=5)
+            shutil.rmtree(os.path.join(root, "image_list"),
+                          ignore_errors=True)
+        common = ["--freiburg_root", root, "--model_root_path", ckpt_dir,
+                  "--layers", "1,1,1,1", "--decode_cache_mb", "2048"]
+        net1 = ["-net_mode", "one_channel"]
+
+        def evaluate(ckpt_name):
+            return _evaluate_miou(["-dataset", "freiburg_ir",
+                                   "-val_batch_size", "8",
+                                   "-checkpoint_name", ckpt_name,
+                                   *common, *net1])
+
+        t0 = time.perf_counter()
+        if not _gan_checkpoint_trained(os.path.join(ckpt_dir, "g_gate.pth")):
+            gan_main_cli.main([
+                "-source_dataset", "freiburg_rgb",
+                "-target_dataset", "freiburg_ir", "-batch_size", "8",
+                "-num_epoch", "20", "-save_interval", "1000",
+                "-checkpoint_name", "g_gate.pth",
+                "-new_checkpoint_name", "g_gate.pth", "--bf16", "true",
+                "--freiburg_root", root, "--gan_model_root_path", ckpt_dir,
+                "--decode_cache_mb", "4096"])
+        # translations are reusable ONLY if complete (one per source frame)
+        # and produced after the current generator checkpoint — a partial
+        # or pre-retraining translation dir silently poisons stage 3
+        import glob as glob_mod
+        src_pngs = glob_mod.glob(os.path.join(
+            root, "train", "seq_00_day", "00", "fl_rgb", "*.png"))
+        trans_pngs = glob_mod.glob(os.path.join(
+            root, "translation", "seq_00_day", "00", "fl_rgb", "*.png"))
+        ckpt_mtime = os.path.getmtime(os.path.join(ckpt_dir, "g_gate.pth"))
+        if (len(trans_pngs) != len(src_pngs)
+                or min(map(os.path.getmtime, trans_pngs)) < ckpt_mtime):
+            translator.main(["-dataset", "freiburg_rgb", "-batch_size", "8",
+                             "-checkpoint_name", "g_gate.pth",
+                             "-input_nc", "3", "-output_nc", "1",
+                             "-save_image_size", "320", "700",
+                             "-translation_name_suffix", "", "--bf16", "true",
+                             "--freiburg_root", root,
+                             "--gan_model_root_path", ckpt_dir,
+                             "--decode_cache_mb", "4096"])
+        if not os.path.exists(os.path.join(ckpt_dir, "pipeline_seg.pth")):
+            segmentation_train.main([
+                "-dataset", "freiburg_translation",
+                "-translation_name", "translation",
+                "-epochs", "60", "-batch_size", "8", "-val_batch_size", "8",
+                "-lr", "0.003",
+                "-new_checkpoint_name", "pipeline_seg.pth", *common, *net1])
+        miou_seg = evaluate("pipeline_seg.pth")
+        print(json.dumps({"stage": "seg_on_translations",
+                          "miou": round(miou_seg, 4)}), flush=True)
+
+        for soft, ptype in (("True", "soft"), ("False", "hard")):
+            generate_pseudo_label.main([
+                "--root", tmp, "--soft", soft, "-pseudo_type", ptype,
+                "--flip", "True", "-batch_size", "8",
+                "-checkpoint_name", "pipeline_seg.pth", *common])
+        cal_prototype.main([
+            "-root", tmp, "-dataset", "freiburg_ir", "-epochs", "1",
+            "-batch_size", "8", "-max_steps", "32",
+            "-checkpoint_name", "pipeline_seg.pth", *common, *net1])
+        self_train_main.main([
+            "--root", tmp, "-checkpoint_name", "pipeline_seg.pth",
+            "-new_checkpoint_name", "pipeline_st.pth",
+            "-translation_name", "translation",
+            "--lr", "0.0003", "--epochs", "4", "--val_interval", "32",
+            "-batch_size", "4", *common])
+        miou_final = evaluate(os.path.join(ckpt_dir, "bestpipeline_st.pth"))
+
+    passed = miou_final >= 0.75 and miou_final >= miou_seg - 0.05
+    result = {"metric": "pipeline_gate_final_miou",
+              "value": round(miou_final, 4), "unit": "mIoU",
+              "miou_seg_on_translations": round(miou_seg, 4),
+              "threshold": 0.75, "passed": passed,
+              "protocol": "256x512, nanmean(iu[:11]), real-IR test split",
+              "stages": "gan->translate->seg->pseudo->proto->selftrain->eval",
+              "total_sec": round(time.perf_counter() - t0, 1)}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "PIPELINE_GATE.json"), "w") as f:
+        f.write(json.dumps(result) + "\n")
+    assert passed, f"pipeline gate FAILED: {result}"
+    return result
+
+
 BENCHES = {"seg": bench_seg, "gan": bench_gan, "gan_fused": bench_gan_fused,
            "self_train": bench_self_train, "pseudo": bench_pseudo,
            "eval": bench_eval, "pipeline": bench_pipeline,
            "convergence": bench_convergence, "serve": bench_serve,
            "loader": bench_loader, "selftrain_gate": bench_selftrain_gate,
-           "gan_gate": bench_gan_gate}
+           "gan_gate": bench_gan_gate, "pipeline_gate": bench_pipeline_gate}
 
 
 def main():

@@ -29,31 +29,37 @@ def _save_label(path, rng, shape=(40, 120), num_classes=13):
 
 
 def make_freiburg_tree(root: str, n_train: int = 4, n_test: int = 2,
-                       translation_name: str | None = None, seed: int = 0) -> str:
+                       translation_name: str | None = None, seed: int = 0,
+                       hw=(40, 120)) -> str:
     """Freiburg layout:
       train/seq_00_day/00/fl_ir_aligned/NNNN.png   (uint16 IR)
       train/seq_00_day/00/fl_rgb/NNNN.png          (RGB)
       train/seq_00_day/00/fl_rgb_labels/NNNN.png   (labels; shared by IR+RGB
          via the 'ir_aligned'->'rgb_labels' / 'rgb'->'rgb_labels' substitutions)
       test/day/ImagesIR/NNNN_ir.png + test/day/SegmentationClass/NNNN_rgb.npy
+
+    ``hw=(320, 960)`` gives frames at the real aligned-IR raw size (the
+    perf benches use it; the tiny default keeps unit tests fast).
     """
     rng = np.random.default_rng(seed)
     base = os.path.join(root, "train", "seq_00_day", "00")
     for i in range(n_train):
-        _save_u16(os.path.join(base, "fl_ir_aligned", f"{i:04d}.png"), rng)
-        _save_rgb(os.path.join(base, "fl_rgb", f"{i:04d}.png"), rng)
-        _save_label(os.path.join(base, "fl_rgb_labels", f"{i:04d}.png"), rng)
+        _save_u16(os.path.join(base, "fl_ir_aligned", f"{i:04d}.png"), rng, hw)
+        _save_rgb(os.path.join(base, "fl_rgb", f"{i:04d}.png"), rng, hw)
+        _save_label(os.path.join(base, "fl_rgb_labels", f"{i:04d}.png"), rng,
+                    hw)
         if translation_name:
             # translated source frames as the s2t translator writes them:
             # single-channel thermal-like uint8 PNGs (cli/translator.py)
             tbase = os.path.join(root, translation_name, "seq_00_day", "00")
             _save_label(os.path.join(tbase, "fl_rgb", f"{i:04d}.png"), rng,
-                        num_classes=256)
+                        hw, num_classes=256)
     for i in range(n_test):
-        _save_u16(os.path.join(root, "test", "day", "ImagesIR", f"{i:04d}_ir.png"), rng)
+        _save_u16(os.path.join(root, "test", "day", "ImagesIR",
+                               f"{i:04d}_ir.png"), rng, hw)
         lbl_path = os.path.join(root, "test", "day", "SegmentationClass", f"{i:04d}_rgb.npy")
         os.makedirs(os.path.dirname(lbl_path), exist_ok=True)
-        np.save(lbl_path, rng.integers(0, 13, size=(40, 120)).astype(np.uint8))
+        np.save(lbl_path, rng.integers(0, 13, size=hw).astype(np.uint8))
     return root
 
 
@@ -240,8 +246,8 @@ _GAN_PALETTE = np.array([[200, 40, 40], [40, 200, 40], [40, 80, 220],
                          [220, 200, 40], [160, 40, 200]], np.float32)
 
 
-def make_gan_freiburg_tree(root: str, n_train: int = 512, seed: int = 0,
-                           hw=(320, 960), n_bands: int = 5,
+def make_gan_freiburg_tree(root: str, n_train: int = 512, n_test: int = 0,
+                           seed: int = 0, hw=(320, 960), n_bands: int = 5,
                            noise_slots: float = 0.15,
                            rgb_noise: float = 3.0) -> str:
     """Freiburg tree with pixel-ALIGNED rgb/ir pairs whose mapping an
@@ -251,8 +257,11 @@ def make_gan_freiburg_tree(root: str, n_train: int = 512, seed: int = 0,
     Every frame is vertical bands in the FIXED class order 0..n_bands-1
     (only the edge positions vary): rgb renders band k as palette color k,
     ir renders it as intensity slot k of the radiometric window, and band
-    k's expected WIDTH grows with k (dirichlet alphas proportional to k+1,
-    so slot-4 bands average 5x wider than slot-0 ones).
+    k's expected WIDTH grows with k (dirichlet alphas 4+2k, a 3x spread;
+    the narrowest class still averages ~10% of the frame — a first
+    5x-spread law pinned the mapping, L1 ratio 0.334, but starved the two
+    narrowest classes of supervision and they scored IoU 0/nan through the
+    downstream segmentation pipeline).
 
     The width law is what breaks the intensity-permutation symmetry that
     unpaired losses cannot otherwise see. Monotone band ORDER alone is NOT
@@ -274,7 +283,7 @@ def make_gan_freiburg_tree(root: str, n_train: int = 512, seed: int = 0,
         label, bands = _banded_class_map(rng, hw, n_classes=n_bands,
                                          n_bands=n_bands,
                                          classes=np.arange(n_bands),
-                                         alphas=2.0 * (np.arange(n_bands) + 1))
+                                         alphas=4.0 + 2.0 * np.arange(n_bands))
         raw = (21800.0 + (bands.astype(np.float32) + 0.5) * span
                + rng.normal(0, noise_slots * span, hw).astype(np.float32))
         ir = np.clip(raw, 21800, 25000).astype(np.uint16)
@@ -287,6 +296,26 @@ def make_gan_freiburg_tree(root: str, n_train: int = 512, seed: int = 0,
             p = os.path.join(base, sub, f"{i:04d}.png")
             os.makedirs(os.path.dirname(p), exist_ok=True)
             Image.fromarray(arr, mode=mode).save(p)
+    # optional IR test split (for the full-recipe integration gate): same
+    # construction, labeled with the band classes. All n_bands classes
+    # appear in every frame, so nanmean(iu[:11]) scores exactly those and
+    # the never-labeled classes drop out (unless the model strays).
+    rng_t = np.random.default_rng(seed + 1)
+    for i in range(n_test):
+        label, bands = _banded_class_map(rng_t, hw, n_classes=n_bands,
+                                         n_bands=n_bands,
+                                         classes=np.arange(n_bands),
+                                         alphas=4.0 + 2.0 * np.arange(n_bands))
+        raw = (21800.0 + (bands.astype(np.float32) + 0.5) * span
+               + rng_t.normal(0, noise_slots * span, hw).astype(np.float32))
+        ir = np.clip(raw, 21800, 25000).astype(np.uint16)
+        p = os.path.join(root, "test", "day", "ImagesIR", f"{i:04d}_ir.png")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(ir).save(p)
+        lp = os.path.join(root, "test", "day", "SegmentationClass",
+                          f"{i:04d}_rgb.npy")
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        np.save(lp, label)
     return root
 
 

@@ -200,10 +200,14 @@ def gan_main(args):
                 all_metrics = {**metrics, **d_metrics}
                 img_outs = outs
             else:
+                # with_outs is a STATIC jit arg: keep it constant across
+                # steps (toggling it per log-step would compile the full
+                # fused program twice, ~10 min each over the axon tunnel).
+                # The outs are materialized in-graph for the pool anyway;
+                # returning them costs nothing until a log step fetches.
                 state, pools, all_metrics = fused_step(
                     state, pools, real_s, real_t, label_s, sem_vars,
-                    with_sem=args.sem_loss,
-                    with_outs=vis_live and log_now)
+                    with_sem=args.sem_loss, with_outs=vis_live)
                 img_outs = {k[len("out_"):]: all_metrics.pop(k)
                             for k in list(all_metrics)
                             if k.startswith("out_")}
