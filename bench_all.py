@@ -652,13 +652,11 @@ def bench_gan_gate():
                   "--bf16", "true", "--decode_cache_mb", "4096"]
         train_common = ["-source_dataset", "freiburg_rgb",
                         "-target_dataset", "freiburg_ir",
-                        "-batch_size", "8",
-                        "-checkpoint_name", "g_gate.pth",
-                        "-new_checkpoint_name", "g_gate.pth", *common]
+                        "-batch_size", "8", *common]
 
-        def translate_and_measure():
+        def translate_and_measure(ckpt_name="g_gate.pth"):
             translator.main(["-dataset", "freiburg_rgb", "-batch_size", "8",
-                             "-checkpoint_name", "g_gate.pth",
+                             "-checkpoint_name", ckpt_name,
                              "-input_nc", "3", "-output_nc", "1",
                              "-save_image_size", "320", "700",
                              "-translation_name_suffix", "", *common])
@@ -676,15 +674,29 @@ def bench_gan_gate():
                 b = json.load(f)
             l1_0, ssim_0 = b["l1"], b["ssim"]
         else:
+            # the untrained baseline lives under its OWN name so reusing a
+            # workdir whose g_gate.pth is already trained (e.g. the pipeline
+            # gate's) never clobbers it with a 1-step checkpoint
             gan_main_cli.main(["-num_epoch", "1", "-max_steps", "1",
+                               "-checkpoint_name", "g_gate_base.pth",
+                               "-new_checkpoint_name", "g_gate_base.pth",
                                *train_common])
-            l1_0, ssim_0 = translate_and_measure()
+            l1_0, ssim_0 = translate_and_measure("g_gate_base.pth")
             with open(baseline_file, "w") as f:
                 json.dump({"l1": l1_0, "ssim": ssim_0}, f)
         print(json.dumps({"stage": "baseline", "l1": round(l1_0, 4),
                           "ssim": round(ssim_0, 4)}), flush=True)
-        gan_main_cli.main(["-load_model", "true", "-num_epoch", epochs,
-                           "-save_interval", "1000", *train_common])
+        # ckpt["epoch"] is the last 0-based epoch index: 19 after 20 epochs
+        trained_ckpt = os.path.join(ckpt_dir, "g_gate.pth")
+        if not _gan_checkpoint_trained(trained_ckpt,
+                                       min_epoch=int(epochs) - 1):
+            start = ("g_gate.pth" if os.path.exists(trained_ckpt)
+                     else "g_gate_base.pth")
+            gan_main_cli.main(["-load_model", "true", "-num_epoch", epochs,
+                               "-save_interval", "1000",
+                               "-checkpoint_name", start,
+                               "-new_checkpoint_name", "g_gate.pth",
+                               *train_common])
         l1_1, ssim_1 = translate_and_measure()
 
     result = {"metric": "gan_gate_l1_ratio",
