@@ -137,3 +137,38 @@ def test_resize_shrink_evicts_immediately():
     cache.resize(2000)
     assert cache.nbytes <= 2000
     assert 7 in cache._entries and 0 not in cache._entries
+
+
+def test_corrupt_disk_file_is_repaired_not_fatal(tmp_path):
+    """A zero-byte .npy (crash between rename and data hitting disk) must
+    fall back to re-decode and overwrite the corrupt file — np.load raises
+    EOFError there, which once crash-looped every later run."""
+    import os
+
+    cache = DecodeCache(max_bytes=0, disk_dir=str(tmp_path / "d"))
+    key = ("ir", "frame0")
+    arr = cache.get_or_decode(key, lambda: np.arange(6, dtype=np.float32))
+    path = cache._disk_path(key)
+    open(path, "wb").close()                      # truncate to zero bytes
+    assert os.path.getsize(path) == 0
+    again = cache.get_or_decode(key, lambda: np.arange(6, dtype=np.float32))
+    np.testing.assert_array_equal(arr, again)
+    # the re-decode repaired the file: a third read hits disk cleanly
+    hits = cache.disk_hits
+    cache.get_or_decode(key, lambda: (_ for _ in ()).throw(AssertionError))
+    assert cache.disk_hits == hits + 1
+
+
+def test_resize_only_call_keeps_disk_tier(tmp_path):
+    """set_decode_cache(mb) with disk_dir unset must NOT clear a previously
+    configured disk tier (the docs' resize-only form silently disabled
+    persistence before)."""
+    disk = str(tmp_path / "keep")
+    try:
+        set_decode_cache(0, disk_dir=disk)
+        set_decode_cache(64)                      # resize-only
+        assert decode_cache().disk_dir == disk
+        set_decode_cache(0, disk_dir=None)        # explicit None clears
+        assert decode_cache().disk_dir is None
+    finally:
+        set_decode_cache(0, disk_dir=None)

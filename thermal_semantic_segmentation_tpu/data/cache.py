@@ -53,11 +53,18 @@ class DecodeCache:
         return os.path.join(self.disk_dir, f"{h}.npy")
 
     def _disk_load(self, key: Hashable) -> Optional[np.ndarray]:
+        # EOFError covers a zero-byte file left by a crash between
+        # os.replace and the data reaching disk (no fsync, by design) —
+        # without it one corrupt file would crash every later run
         try:
             arr = np.load(self._disk_path(key), allow_pickle=False)
             self.disk_hits += 1
             return arr
-        except (OSError, ValueError):
+        except (OSError, ValueError, EOFError):
+            try:  # drop the corrupt file so the re-decode below repairs it
+                os.unlink(self._disk_path(key))
+            except OSError:
+                pass
             return None
 
     def _disk_store(self, key: Hashable, arr: np.ndarray) -> None:
@@ -125,15 +132,19 @@ class DecodeCache:
 
 
 _GLOBAL = DecodeCache(0)
+_UNSET = object()
 
 
-def set_decode_cache(max_mb: float,
-                     disk_dir: Optional[str] = None) -> DecodeCache:
+def set_decode_cache(max_mb: float, disk_dir=_UNSET) -> DecodeCache:
     """Configure the process-global decode cache: RAM bound in MiB (0
     disables the RAM tier and clears it) and optional persistent disk tier.
-    Shrinking evicts immediately so the new bound holds right away."""
+    Shrinking evicts immediately so the new bound holds right away.
+    ``disk_dir`` left unset keeps any previously configured disk tier (a
+    resize-only call must not silently disable persistence); pass ``None``
+    explicitly to clear it."""
     _GLOBAL.resize(int(max_mb * 2**20))
-    _GLOBAL.disk_dir = disk_dir or None
+    if disk_dir is not _UNSET:
+        _GLOBAL.disk_dir = disk_dir or None
     return _GLOBAL
 
 

@@ -37,9 +37,15 @@ class VisdomPlotter:
     """plot_loss-compatible live line plots; silently inert without visdom."""
 
     def __init__(self, env: str = "thermal semantic segmentation"):
+        # visdom.Visdom() does NOT raise when no server is reachable — it
+        # logs and returns a client whose every post fails. Gate on an
+        # actual connection so "visdom installed but no server" stays inert
+        # (callers key live-panel work, e.g. the GAN step's image outputs,
+        # off ``vis is not None``).
         try:
             import visdom  # type: ignore
-            self.vis = visdom.Visdom(env=env)
+            vis = visdom.Visdom(env=env, raise_exceptions=True)
+            self.vis = vis if vis.check_connection() else None
         except Exception:
             self.vis = None
 
