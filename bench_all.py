@@ -27,16 +27,14 @@ def _evaluate_miou(eval_args):
     segmentation_evaluate.py:88-94, is the single source of truth)."""
     import contextlib
     import io
-    import re
 
+    from recipes.assert_miou import parse_miou
     from thermal_semantic_segmentation_tpu.cli import segmentation_evaluate
 
     out = io.StringIO()
     with contextlib.redirect_stdout(out):
         segmentation_evaluate.main(list(eval_args))
-    m = re.search(r"mean iou score: \[?([0-9.eE+-]+)\]?", out.getvalue())
-    assert m, f"no mean iou in eval output:\n{out.getvalue()}"
-    return float(m.group(1))
+    return parse_miou(out.getvalue())
 
 
 def _gan_checkpoint_trained(path, min_epoch: int = 5) -> bool:
@@ -53,6 +51,23 @@ def _gan_checkpoint_trained(path, min_epoch: int = 5) -> bool:
         return int(load_checkpoint(path)["epoch"]) >= min_epoch
     except Exception:
         return False
+
+
+def _run_stage_once(marker_path, fn):
+    """Run fn() unless a .done marker from a COMPLETED earlier run exists.
+
+    Seg checkpoints save at every best-val epoch, so the file existing
+    proves nothing about completion — a gate workdir from a killed run
+    would silently reuse an undertrained checkpoint and measure the wrong
+    thing (the marker is written only after fn returns)."""
+    import os
+
+    marker = marker_path + ".done"
+    if os.path.exists(marker):
+        return
+    fn()
+    with open(marker, "w") as f:
+        f.write("done\n")
 
 
 def _sync(x):
@@ -568,14 +583,15 @@ def bench_selftrain_gate():
                                    *common, *net1])
 
         t0 = time.perf_counter()
-        if not os.path.exists(os.path.join(ckpt_dir, "selftrain_source.pth")):
-            segmentation_train.main([
+        _run_stage_once(
+            os.path.join(ckpt_dir, "selftrain_source.pth"),
+            lambda: segmentation_train.main([
                 "-dataset", "freiburg_translation",
                 "-translation_name", "synthetic_translation",
                 "-epochs", "100", "-batch_size", "8", "-val_batch_size", "8",
                 "-lr", "0.003",
                 "-new_checkpoint_name", "selftrain_source.pth",
-                *common, *net1])
+                *common, *net1]))
         miou_source = evaluate("selftrain_source.pth")
         print(json.dumps({"stage": "source", "miou": round(miou_source, 4)}),
               flush=True)
@@ -807,13 +823,15 @@ def bench_pipeline_gate():
                              "--freiburg_root", root,
                              "--gan_model_root_path", ckpt_dir,
                              "--decode_cache_mb", "4096"])
-        if not os.path.exists(os.path.join(ckpt_dir, "pipeline_seg.pth")):
-            segmentation_train.main([
+        _run_stage_once(
+            os.path.join(ckpt_dir, "pipeline_seg.pth"),
+            lambda: segmentation_train.main([
                 "-dataset", "freiburg_translation",
                 "-translation_name", "translation",
                 "-epochs", "60", "-batch_size", "8", "-val_batch_size", "8",
                 "-lr", "0.003",
-                "-new_checkpoint_name", "pipeline_seg.pth", *common, *net1])
+                "-new_checkpoint_name", "pipeline_seg.pth",
+                *common, *net1]))
         miou_seg = evaluate("pipeline_seg.pth")
         print(json.dumps({"stage": "seg_on_translations",
                           "miou": round(miou_seg, 4)}), flush=True)

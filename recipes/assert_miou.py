@@ -13,11 +13,17 @@ import re
 import sys
 
 
+def parse_miou(text: str) -> float:
+    """The one parser for the eval CLI's 'mean iou score' line (also used
+    by bench_all.py's accuracy gates — keep the format change surface
+    single)."""
+    m = re.search(r"mean iou score: \[?([0-9.eE+-]+)\]?", text)
+    assert m, f"no mean iou in eval output:\n{text}"
+    return float(m.group(1))
+
+
 def main(log_path: str, min_miou: float) -> float:
-    log = open(log_path).read()
-    m = re.search(r"mean iou score: \[?([0-9.eE+-]+)\]?", log)
-    assert m, f"no mean iou in eval output ({log_path})"
-    miou = float(m.group(1))
+    miou = parse_miou(open(log_path).read())
     print(f"[recipe] final mIoU = {miou:.4f} (threshold {min_miou})")
     assert miou >= min_miou, f"mIoU {miou:.4f} below threshold {min_miou}"
     print("[recipe] PASSED")

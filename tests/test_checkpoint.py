@@ -95,3 +95,53 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     # resharding on restore: replicate what was batch-sharded
     restored2 = load_sharded(path, abstract_like(tree, sharding=repl_sh))
     assert restored2["params"]["w"].sharding.is_fully_replicated
+
+
+def test_model_meta_roundtrip(tmp_path):
+    """Architecture keys persisted with the checkpoint override stale CLI
+    flags at load (a mismatched --layers otherwise dies as an opaque flax
+    param-tree error deep in apply)."""
+    from argparse import Namespace
+
+    from thermal_semantic_segmentation_tpu.cli._common import (
+        apply_model_meta, load_seg_checkpoint, model_meta,
+        save_seg_checkpoint)
+
+    train_args = Namespace(layers=(1, 1, 1, 1), net_mode="three_channels",
+                           num_classes=5)
+    p = str(tmp_path / "meta.pth")
+    save_seg_checkpoint(p, {"params": {"w": np.zeros(1)}}, epoch=0,
+                        **model_meta(train_args))
+    _, meta = load_seg_checkpoint(p)
+    eval_args = Namespace(layers=(3, 4, 23, 3), net_mode="one_channel",
+                          num_classes=13)
+    apply_model_meta(eval_args, meta)
+    assert eval_args.layers == (1, 1, 1, 1)
+    assert eval_args.net_mode == "three_channels"  # from num_channels=3
+    assert eval_args.num_classes == 5
+    # reference torch checkpoints carry no arch keys: flags stay untouched
+    apply_model_meta(eval_args, {"epoch": 3})
+    assert eval_args.layers == (1, 1, 1, 1)
+
+
+def test_eval_cli_adopts_layers_from_checkpoint(tmp_path, monkeypatch):
+    """Train with --layers 1,1,1,1 through the CLI, then evaluate WITHOUT
+    repeating the flag: the checkpoint's stored architecture must win."""
+    from tests.synthetic import make_freiburg_tree
+    from thermal_semantic_segmentation_tpu.cli import (segmentation_evaluate,
+                                                       segmentation_train)
+
+    # batch 8: the test mesh is 8 simulated devices (dp-sharded batch)
+    root = make_freiburg_tree(str(tmp_path / "freiburg"), n_train=12,
+                              n_test=2)
+    monkeypatch.chdir(tmp_path)
+    common = ["--freiburg_root", root, "--model_root_path",
+              str(tmp_path / "ckpt"), "-net_mode", "one_channel"]
+    segmentation_train.main([
+        "-dataset", "freiburg_ir", "-epochs", "1", "-max_steps", "1",
+        "-batch_size", "8", "-val_batch_size", "8", "--layers", "1,1,1,1",
+        "-new_checkpoint_name", "tiny.pth", *common])
+    # no --layers here: the default (3,4,23,3) would shape-mismatch
+    segmentation_evaluate.main([
+        "-dataset", "freiburg_ir", "-val_batch_size", "8",
+        "-checkpoint_name", "tiny.pth", *common])

@@ -233,6 +233,27 @@ def test_stream_malformed_framing_is_400(server):
         httpd.shutdown()
 
 
+def test_stream_without_content_length_is_411(server):
+    """A chunked-encoded (no Content-Length) body would silently read as an
+    empty stream: 200 with zero results, unread body corrupting the next
+    keep-alive request. The endpoint must refuse it up front."""
+    import http.client
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(server, {"checkpoint": "st"}))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/segment_stream", body=iter([b"\0" * 16]),
+                     headers={"Transfer-Encoding": "chunked"})
+        resp = conn.getresponse()
+        assert resp.status == 411, resp.status
+        conn.close()
+    finally:
+        httpd.shutdown()
+
+
 def test_http_surface(server):
     httpd = ThreadingHTTPServer(("127.0.0.1", 0),
                                 make_handler(server, {"checkpoint": "test"}))

@@ -135,3 +135,39 @@ def load_seg_checkpoint(path: str):
 def save_seg_checkpoint(path: str, variables, **meta) -> None:
     payload = {"variables": jax.tree.map(np.asarray, variables), **meta}
     save_checkpoint(path, payload)
+
+
+def model_meta(args) -> dict:
+    """Model-architecture metadata persisted alongside seg checkpoints so
+    downstream CLIs need not be re-told the backbone config (a mismatched
+    --layers otherwise dies as an opaque flax shape error). Numeric-only:
+    flax's msgpack cannot round-trip python strings, so net_mode travels
+    as its channel count."""
+    return {"layers": list(getattr(args, "layers", (3, 4, 23, 3))),
+            "num_channels": 1 if getattr(args, "net_mode",
+                                         "one_channel") == "one_channel"
+            else 3,
+            "num_classes": int(getattr(args, "num_classes", 13))}
+
+
+def apply_model_meta(args, meta) -> None:
+    """Adopt architecture keys from checkpoint meta into ``args`` before
+    the model is built. The checkpoint is authoritative: its variables ARE
+    that architecture, so a differing flag could only fail later with a
+    param-tree mismatch. No-op for reference torch checkpoints (no keys)."""
+    def as_cmp(v):
+        return tuple(v) if isinstance(v, (list, tuple)) else v
+
+    updates = {}
+    if "layers" in meta:
+        updates["layers"] = tuple(int(x) for x in meta["layers"])
+    if "num_channels" in meta:
+        updates["net_mode"] = ("one_channel" if int(meta["num_channels"]) == 1
+                               else "three_channels")
+    if "num_classes" in meta:
+        updates["num_classes"] = int(meta["num_classes"])
+    for key, new in updates.items():
+        old = getattr(args, key, None)
+        if old is not None and as_cmp(old) != as_cmp(new):
+            print(f"checkpoint meta overrides --{key}: {old} -> {new}")
+        setattr(args, key, new)

@@ -40,10 +40,11 @@ def calc_prototype(args):
     loader = DataLoader(dataset, args.batch_size, shuffle=True, drop_last=True,
                         seed=args.seed)
 
-    from ._common import build_deeplab, resolve_wire
-    model, _ = build_deeplab(args, abstract=True)
-    variables, _meta = load_seg_checkpoint(
+    from ._common import apply_model_meta, build_deeplab, resolve_wire
+    variables, meta = load_seg_checkpoint(
         os.path.join(args.model_root_path, args.checkpoint_name))
+    apply_model_meta(args, meta)
+    model, _ = build_deeplab(args, abstract=True)
 
     prototypes, counts = calc_prototypes(model, variables, loader,
                                          num_classes=args.num_classes,

@@ -18,10 +18,11 @@ def main(argv=None):
     args.net_mode = "one_channel"
     args.num_classes = 13
 
-    from ._common import build_deeplab, resolve_wire
-    model, _ = build_deeplab(args, abstract=True)
-    variables, _meta = load_seg_checkpoint(
+    from ._common import apply_model_meta, build_deeplab, resolve_wire
+    variables, meta = load_seg_checkpoint(
         os.path.join(args.model_root_path, args.checkpoint_name))
+    apply_model_meta(args, meta)
+    model, _ = build_deeplab(args, abstract=True)
 
     dataset = build_seg_dataset(args, val_transform())
     loader = DataLoader(dataset, args.batch_size, shuffle=False, drop_last=False)

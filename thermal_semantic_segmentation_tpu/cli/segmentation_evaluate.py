@@ -13,8 +13,8 @@ import os
 
 from ..data.loader import DataLoader, split_indices
 from ..eval.validate import seg_validate
-from ._common import (build_deeplab, build_seg_dataset, load_seg_checkpoint,
-                      resolve_wire, val_transform)
+from ._common import (apply_model_meta, build_deeplab, build_seg_dataset,
+                      load_seg_checkpoint, resolve_wire, val_transform)
 from .options import evaluation_parse
 
 
@@ -33,9 +33,10 @@ def seg_evaluation(args):
         loader = DataLoader(dataset, args.val_batch_size, shuffle=False,
                             drop_last=False, seed=args.seed)
 
-    model, _ = build_deeplab(args, abstract=True)  # checkpoint supplies variables
     path = os.path.join(args.model_root_path, args.checkpoint_name)
-    variables, _meta = load_seg_checkpoint(path)
+    variables, meta = load_seg_checkpoint(path)
+    apply_model_meta(args, meta)  # ckpt arch keys beat stale flags
+    model, _ = build_deeplab(args, abstract=True)  # checkpoint supplies variables
 
     save_root = None
     if args.visualize_prediction:

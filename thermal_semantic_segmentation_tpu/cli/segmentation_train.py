@@ -24,7 +24,8 @@ from ..parallel.mesh import host_shard, make_mesh, replicate, shard_batch
 from ..train.seg import build_seg_eval_step, create_seg_state, make_seg_train_step
 from ..utils.logging import get_logger
 from ..utils.meters import AverageMeter, ProgressMeter
-from ._common import (build_deeplab, build_seg_dataset, load_seg_checkpoint, resolve_wire,
+from ._common import (apply_model_meta, build_deeplab, build_seg_dataset,
+                      load_seg_checkpoint, model_meta, resolve_wire,
                       save_seg_checkpoint, train_transform, val_transform)
 from .options import seg_parse
 
@@ -62,17 +63,19 @@ def seg_main(args, logger):
     target_val_loader = DataLoader(target_val_dataset, args.val_batch_size,
                                    shuffle=False, drop_last=False, seed=args.seed + 2)
 
-    model, variables = build_deeplab(args)
-
     restart_epoch = 0
     lowest_val_loss = float("inf")
     if args.load_model:
         path = os.path.join(args.model_root_path, args.checkpoint_name)
         variables, meta = load_seg_checkpoint(path)
+        apply_model_meta(args, meta)  # ckpt arch keys beat stale flags
         restart_epoch = int(meta.get("epoch", -1)) + 1
         if "val_loss" in meta:
             lowest_val_loss = float(meta["val_loss"])
         logger.info("loaded %s, resume from epoch %d", path, restart_epoch)
+        model, _ = build_deeplab(args, abstract=True)
+    else:
+        model, variables = build_deeplab(args)
 
     state = create_seg_state(model, variables, learning_rate=args.lr,
                              lr_groups=getattr(args, "lr_groups", False))
@@ -131,7 +134,8 @@ def seg_main(args, logger):
             lowest_val_loss = val_loss
             save_seg_checkpoint(
                 os.path.join(args.model_root_path, args.new_checkpoint_name),
-                jax.device_get(state.variables), epoch=epoch, val_loss=lowest_val_loss)
+                jax.device_get(state.variables), epoch=epoch,
+                val_loss=lowest_val_loss, **model_meta(args))
         else:
             msg = "Model not improved."
         print(msg); logger.info(msg)

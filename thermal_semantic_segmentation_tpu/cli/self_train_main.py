@@ -29,8 +29,9 @@ from ..train.seg import build_seg_eval_step
 from ..train.self_train import create_self_train_state, make_self_train_step
 from ..utils.logging import get_logger
 from ..utils.meters import AverageMeter, ProgressMeter
-from ._common import (load_seg_checkpoint, resolve_wire, save_seg_checkpoint,
-                      train_transform, val_transform)
+from ._common import (apply_model_meta, load_seg_checkpoint, model_meta,
+                      resolve_wire, save_seg_checkpoint, train_transform,
+                      val_transform)
 from .cal_prototype import prototype_path
 from .options import self_train_parse
 
@@ -57,21 +58,23 @@ def self_train_main(args, logger):
     val_loader = DataLoader(target_val_dataset, args.batch_size, shuffle=False,
                             drop_last=False, seed=args.seed + 2)
 
-    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
-    model, variables = create_deeplab(jax.random.key(args.seed),
-                                      num_classes=args.num_classes,
-                                      num_channels=1, abstract=args.load_model,
-                                      dtype=dtype,
-                                      remat=getattr(args, "remat", "none"),
-                                      layers=getattr(args, "layers",
-                                                     (3, 4, 23, 3)))
     restart_epoch = 0
+    meta = {}
     if args.load_model:
         variables, meta = load_seg_checkpoint(
             os.path.join(args.model_root_path, args.checkpoint_name))
+        apply_model_meta(args, meta)  # ckpt arch keys beat stale flags
         restart_epoch = int(meta.get("epoch", -1)) + 1
         logger.info("loaded %s, resume from epoch %d", args.checkpoint_name,
                     restart_epoch)
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+    model, init_variables = create_deeplab(
+        jax.random.key(args.seed), num_classes=args.num_classes,
+        num_channels=1, abstract=args.load_model, dtype=dtype,
+        remat=getattr(args, "remat", "none"),
+        layers=getattr(args, "layers", (3, 4, 23, 3)))
+    if not args.load_model:
+        variables = init_variables
 
     proto_ckpt = load_checkpoint(
         prototype_path(args.root, args.target_dataset, args.checkpoint_name))
@@ -104,7 +107,8 @@ def self_train_main(args, logger):
                          tag + args.new_checkpoint_name),
             jax.device_get(state.variables), epoch=epoch,
             highest_mean_iu=highest_mean_iu,
-            objective_vectors=np.asarray(state.prototypes))
+            objective_vectors=np.asarray(state.prototypes),
+            **model_meta(args))
 
     for epoch in range(restart_epoch, restart_epoch + args.epochs):
         pseudo_loss = AverageMeter("pseudo_loss", ":3.4f")

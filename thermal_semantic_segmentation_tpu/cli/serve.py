@@ -46,6 +46,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from ..ops.batching import pad_rows
+
 HW = (256, 512)
 
 
@@ -210,12 +212,8 @@ class InferenceServer:
                     break
                 batch.append(nxt)
             try:
-                images = np.stack([b[0] for b in batch])
-                pad = self.batch_size - len(batch)
-                if pad:
-                    images = np.concatenate(
-                        [images, np.zeros((pad, *images.shape[1:]),
-                                          images.dtype)])
+                images = pad_rows(np.stack([b[0] for b in batch]),
+                                  self.batch_size)
                 images = self._feed.put({"images": images})["images"]
                 preds = np.asarray(self._predict(self._variables, images))
                 self.batches_run += 1
@@ -360,6 +358,15 @@ def make_handler(server: InferenceServer, model_info: dict):
                     return 0, encode_result(result, fmt, palette)[0]
                 return item
 
+            if "Content-Length" not in self.headers:
+                # a chunked-encoded body would otherwise be read as an empty
+                # stream: 200 with zero results and the unread body corrupting
+                # the next keep-alive request. Require a length up front.
+                self.close_connection = True
+                self._send(411, b"length required: /segment_stream needs "
+                                b"Content-Length (chunked upload unsupported)",
+                           "text/plain")
+                return
             remaining = int(self.headers.get("Content-Length", 0))
             done = []     # finalized (status, payload), in request order
             pending = []  # (result queue | (status, payload)) per frame
@@ -433,12 +440,13 @@ def serve_parse():
 def main(argv=None):
     import os
 
-    from ._common import build_deeplab, load_seg_checkpoint
+    from ._common import apply_model_meta, build_deeplab, load_seg_checkpoint
 
     args = serve_parse().parse_args(argv)
-    model, _ = build_deeplab(args, abstract=True)  # --bf16 sets compute dtype
     variables, meta = load_seg_checkpoint(
         os.path.join(args.model_root_path, args.checkpoint_name))
+    apply_model_meta(args, meta)
+    model, _ = build_deeplab(args, abstract=True)  # --bf16 sets compute dtype
     server = InferenceServer(model, variables, batch_size=args.batch_size,
                              max_wait_ms=args.max_wait_ms,
                              wire_bf16=bool(getattr(args, "bf16", False)),

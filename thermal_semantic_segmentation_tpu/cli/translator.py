@@ -24,6 +24,7 @@ from ..data.cityscapes import Cityscapes
 from ..data.freiburg import Freiburg
 from ..data.loader import DataLoader
 from ..models.factory import init_gan_net, unet_256
+from ..ops.batching import pad_rows
 from .options import translation_parse
 
 
@@ -74,13 +75,9 @@ def translate(args):
         paths = batch.get("img_path")
         image = jnp.asarray(batch["image"])
         real_bs = image.shape[0]
-        if real_bs < args.batch_size:
-            # pad the tail batch so the jitted generator keeps ONE compiled
-            # shape (a second full-graph compile over the axon tunnel costs
-            # minutes); only the real rows are written below
-            image = jnp.concatenate(
-                [image, jnp.zeros((args.batch_size - real_bs,
-                                   *image.shape[1:]), image.dtype)])
+        # pad the tail batch so the jitted generator keeps ONE compiled
+        # shape; only the real rows are written below
+        image = pad_rows(image, args.batch_size)
         fake = np.asarray(run(variables, image))[:real_bs]
         fake = np.clip((fake * denorm + denorm) * 255.0, 0, 255).astype(np.uint8)
         out_paths = []

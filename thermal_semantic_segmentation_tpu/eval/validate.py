@@ -17,6 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..data.palette import colorize_prediction, freiburg_palette
+from ..ops.batching import pad_rows
 from ..train.seg import build_seg_eval_step
 from .metrics import SegScores, scores_from_hist
 
@@ -52,12 +53,8 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
         label = jnp.asarray(batch["label"])
         real_bs = image.shape[0]
         if pad_to_batch is not None and real_bs < pad_to_batch:
-            pad = pad_to_batch - real_bs
-            image = jnp.concatenate(
-                [image, jnp.zeros((pad, *image.shape[1:]), image.dtype)])
-            label = jnp.concatenate(
-                [label, jnp.full((pad, *label.shape[1:]), ignore_index,
-                                 label.dtype)])
+            image = pad_rows(image, pad_to_batch)
+            label = pad_rows(label, pad_to_batch, fill=ignore_index)
         bhist, loss, pred = eval_step(variables, image, label)
         hist = hist + bhist
         loss_sum = loss_sum + loss * real_bs  # no per-batch host sync

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.palette import colorize_prediction, freiburg_palette
+from ..ops.batching import pad_rows
 from ..ops.resize import resize_bilinear
 
 
@@ -101,10 +102,8 @@ def generate_pseudo_labels(model, variables, loader, *, save_path: str,
             images = jnp.asarray(batch["image"])
             names = batch["img_path"]
             real_bs = images.shape[0]
-            if pad_to_batch is not None and real_bs < pad_to_batch:
-                images = jnp.concatenate(
-                    [images, jnp.zeros((pad_to_batch - real_bs,
-                                        *images.shape[1:]), images.dtype)])
+            if pad_to_batch is not None:
+                images = pad_rows(images, pad_to_batch)
             if soft:
                 probs = np.asarray(soft_fn(variables, images))[:real_bs]
                 for k in range(real_bs):
