@@ -23,7 +23,7 @@ from ..data import transforms as T
 from ..data.cityscapes import Cityscapes
 from ..data.freiburg import Freiburg
 from ..data.loader import DataLoader
-from ..models.factory import init_gan_net, unet_256
+from ..models.factory import unet_256
 from ..ops.batching import pad_rows
 from .options import translation_parse
 
@@ -47,14 +47,17 @@ def translate(args):
 
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
-    model = unet_256(ngf=64, input_nc=args.input_nc, output_nc=args.output_nc,
-                     dtype=dtype)
-    variables = init_gan_net(model, jax.random.key(0),
-                             (1, 256, 512, args.input_nc))
     ckpt = load_checkpoint(os.path.join(args.gan_model_root_path,
                                         args.checkpoint_name))
     key = "s2t" if args.generator_type == "s2t" else "t2s"
     variables = ckpt["g_vars"][key]
+    # the checkpoint is authoritative for the generator width: flax apply
+    # validates param shapes against the module config, so a non-default
+    # -ngf training run would otherwise be untranslatable (the reference
+    # hardcodes 64, translator.py:38)
+    ngf = int(variables["params"]["down0"]["kernel"].shape[-1])
+    model = unet_256(ngf=ngf, input_nc=args.input_nc,
+                     output_nc=args.output_nc, dtype=dtype)
 
     @jax.jit
     def run(variables, image):
@@ -69,6 +72,25 @@ def translate(args):
     save_wh = (args.save_image_size[1], args.save_image_size[0])
     from ..data.device_pipeline import device_prefetch
     from ._common import resolve_wire
+
+    def write_batch(fake, out_paths):
+        if use_native:
+            # one C++ call: PIL-equivalent BICUBIC resize + encode, threaded
+            from ..data import native_loader as nl
+            nl.encode_batch(out_paths, fake, resize_wh=save_wh)
+            return
+        for k, out_path in enumerate(out_paths):
+            arr = fake[k].squeeze(-1) if fake.shape[-1] == 1 else fake[k]
+            img = Image.fromarray(arr)
+            img = img.resize(save_wh, Image.BICUBIC)
+            img.save(out_path)
+
+    # encode/save off-thread so the next device batch overlaps host PNG
+    # work (SURVEY §7: overlap device compute with async host writes);
+    # in-flight futures are bounded so decoded batches don't pile up in RAM
+    import concurrent.futures as cf
+    pool = cf.ThreadPoolExecutor(max_workers=2)
+    futures = []
     for batch in device_prefetch(iter(loader),
                                  wire=resolve_wire(args)):
         # datasets in translation mode return the destination path per image
@@ -88,16 +110,12 @@ def translate(args):
                 out_path = f"{base}_{args.translation_name_suffix}{ext}"
             os.makedirs(os.path.dirname(out_path), exist_ok=True)
             out_paths.append(out_path)
-        if use_native:
-            # one C++ call: PIL-equivalent BICUBIC resize + encode, threaded
-            from ..data import native_loader as nl
-            nl.encode_batch(out_paths, fake, resize_wh=save_wh)
-            continue
-        for k, out_path in enumerate(out_paths):
-            arr = fake[k].squeeze(-1) if fake.shape[-1] == 1 else fake[k]
-            img = Image.fromarray(arr)
-            img = img.resize(save_wh, Image.BICUBIC)
-            img.save(out_path)
+        futures.append(pool.submit(write_batch, fake, out_paths))
+        while len(futures) > 4:
+            futures.pop(0).result()  # re-raise write errors promptly
+    for f in futures:
+        f.result()
+    pool.shutdown()
     print("translation complete.")
 
 
