@@ -154,6 +154,24 @@ def test_validate_real_loader_batch4_equals_batch1(tiny_model, tmp_path):
     np.testing.assert_allclose(ref[1], batched[1], rtol=1e-5)
 
 
+def test_eval_step_follows_label_resolution(tiny_model):
+    """Logit upsampling tracks the label's own (H, W), not a fixed size.
+
+    The reference hardcodes (256, 512) (segmentation_evaluate.py:37) because
+    its eval labels are always that size; our eval must also work when a CLI
+    runs a reduced protocol (e.g. the tiny CI chain)."""
+    model, variables = tiny_model
+    eval_step = build_seg_eval_step(model, num_classes=13, ignore_index=12)
+    for hw in ((64, 128), (32, 64), (96, 192)):
+        rng = np.random.default_rng(1)
+        image = jnp.asarray(rng.uniform(0, 1, (2, 64, 128, 1)).astype(np.float32))
+        label = jnp.asarray(rng.integers(0, 13, (2, *hw)))
+        hist, loss, pred = eval_step(variables, image, label)
+        assert pred.shape == (2, *hw)
+        assert hist.shape == (13, 13) and float(jnp.sum(hist)) == 2 * hw[0] * hw[1]
+        assert np.isfinite(float(loss))
+
+
 def test_validate_pad_to_batch_is_metric_exact(tiny_model):
     """Tail padding with ignore labels must not change any score."""
     model, variables = tiny_model

@@ -96,6 +96,7 @@ class Freiburg:
             freiburg_lists(root, split, domain)
         self.data_list = parse_list_file(data_file)
         self.label_list = parse_list_file(label_file)
+        self.root = root
         self.split = split
         self.domain = domain
         self.transforms = transforms
@@ -117,13 +118,26 @@ class Freiburg:
     def __len__(self) -> int:
         return len(self.data_list)
 
+    def _swap_split(self, path: str) -> str:
+        """Swap the split PATH SEGMENT for the translation folder name.
+
+        The reference does a raw str.replace (freiburg_dataset.py:95,
+        144-147) which also rewrites any other 'train' substring in the
+        path — a dataset root under e.g. .../self_train_runs/... breaks.
+        Only the first root-relative segment equal to the split is swapped.
+        """
+        rel = os.path.relpath(path, self.root)
+        parts = rel.split(os.sep)
+        parts[parts.index(str(self.split))] = self.translation_name
+        return os.path.join(self.root, *parts)
+
     def _load_image(self, image_name: str) -> Image.Image:
         if (self.domain == "IR" and not self.segmentation_mode) or self.self_train:
             return load_ir_image(image_name)
         if self.domain == "RGB" and not self.segmentation_mode:
             return load_rgb_image(image_name, self.grayscale)
         if self.segmentation_mode and not self.self_train:
-            translated = image_name.replace(str(self.split), self.translation_name)
+            translated = self._swap_split(image_name)
             from .cache import decode_cache
             arr = decode_cache().get_or_decode(
                 ("translated", translated),
@@ -170,7 +184,7 @@ class Freiburg:
             # folder (data/freiburg_dataset.py:144-147)
             img, _ = self.transforms(rng, image, None)
             out["image"] = img
-            out["img_path"] = image_name.replace(str(self.split), self.translation_name)
+            out["img_path"] = self._swap_split(image_name)
             return out
 
         if not self.with_label:

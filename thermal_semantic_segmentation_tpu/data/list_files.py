@@ -40,24 +40,33 @@ def freiburg_lists(root: str, split: str, domain: str, time: str = "day") -> Tup
 
     data_paths: List[str] = []
     label_paths: List[str] = []
+    def swap(path, old, new, suffix=("", "")):
+        # substitute only in the root-RELATIVE part: the reference's raw
+        # str.replace (misc.py:236-279) corrupts paths whose dataset root
+        # itself contains the pattern (e.g. a root under .../rgb_data/...)
+        rel = os.path.relpath(path, root).replace(old, new)
+        if suffix[0] and rel.endswith(suffix[0]):
+            rel = rel[: -len(suffix[0])] + suffix[1]
+        return os.path.join(root, rel)
+
     if split == "test":
         im_dir = os.path.join(root, split, time, "Images" + domain)
         for path in _walk_files(im_dir):
             data_paths.append(path)
-            label_paths.append(
-                path.replace("Images" + domain, "SegmentationClass")
-                .replace("_" + domain.lower() + ".png", "_rgb.npy"))
+            label_paths.append(swap(
+                path, "Images" + domain, "SegmentationClass",
+                suffix=("_" + domain.lower() + ".png", "_rgb.npy")))
     elif split == "train":
         if domain == "IR":
             files = sorted(glob.glob(os.path.join(root, "train", f"seq_*_{time}", "*", "fl_ir_aligned", "*.png")))
             for f in files:
                 data_paths.append(f)
-                label_paths.append(f.replace("ir_aligned", "rgb_labels"))
+                label_paths.append(swap(f, "ir_aligned", "rgb_labels"))
         else:
             files = sorted(glob.glob(os.path.join(root, "train", f"seq_*_{time}", "*", "fl_rgb", "*.png")))
             for f in files:
                 data_paths.append(f)
-                label_paths.append(f.replace("rgb", "rgb_labels"))
+                label_paths.append(swap(f, "rgb", "rgb_labels"))
     else:
         raise ValueError(f"invalid split {split!r}")
 

@@ -72,6 +72,7 @@ class DistanceDataset:
                  domain: str = "IR"):
         list_file = os.path.join(root, "image_list", f"{split}_{domain}_data.txt")
         self.data_list = parse_list_file(list_file)
+        self.root = root
         self.translate_name = translate_name
         self.split = split
         self.domain = domain
@@ -81,8 +82,11 @@ class DistanceDataset:
 
     def get(self, index: int, rng: np.random.Generator):
         ori_name = self.data_list[index]
-        trans_name = ori_name.replace(self.split, self.translate_name).replace(
-            "ir_aligned", "rgb")
+        # substitute only root-relative (the raw replace would also rewrite
+        # a dataset root containing 'train'; see Freiburg._swap_split)
+        rel = os.path.relpath(ori_name, self.root)
+        trans_name = os.path.join(self.root, rel.replace(
+            self.split, self.translate_name).replace("ir_aligned", "rgb"))
         if self.domain == "IR":
             ori = np.asarray(load_ir_image(ori_name), dtype=np.float32)[..., None]
         elif self.domain == "RGB":

@@ -201,14 +201,21 @@ def build_seg_eval_step(model, *, num_classes: int, ignore_index: int,
 
     hist is the (C, C) confusion-matrix contribution of the batch — metric
     accumulation stays on device (no per-step host syncs, unlike
-    segmentation_evaluate.py:42-44).
+    segmentation_evaluate.py:42-44). Logits are align-corners upsampled to
+    the label's own (H, W) — the reference hardcodes (256, 512)
+    (segmentation_evaluate.py:37) but its labels there ARE (256, 512), so
+    deriving the size from the label is protocol-identical while staying
+    correct for any eval resolution; ``label_hw`` is kept for API
+    compatibility only.
     """
     from ..ops.confmat import confusion_matrix
+
+    del label_hw  # the label's static shape is authoritative (see docstring)
 
     @jax.jit
     def eval_step(variables, image: jax.Array, label: jax.Array):
         out = model.apply(variables, image, train=False)
-        logits = upsample_logits(out["out"], *label_hw)
+        logits = upsample_logits(out["out"], *label.shape[1:3])
         loss = cross_entropy(logits, label, ignore_index=ignore_index)
         pred = jnp.argmax(logits, axis=-1)
         hist = confusion_matrix(pred, label, num_classes)
