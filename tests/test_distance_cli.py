@@ -1,0 +1,51 @@
+"""distance_evaluate CLI smoke (reference distance_evaluate.py).
+
+Builds originals plus a near-identity translation (the uint8 render of the
+same radiometric frame), so the scores have known targets: L1 ~ the uint8
+quantization error, SSIM ~ 1.
+"""
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from thermal_semantic_segmentation_tpu.cli import distance_evaluate
+
+IR_LO, IR_HI = 21800, 25000  # radiometric window (freiburg_dataset.py:78-81)
+
+
+def _build_tree(root, n=10, seed=0):
+    rng = np.random.default_rng(seed)
+    names = []
+    for i in range(n):
+        # exactly the protocol raw size (960, 320), so the loader's resize is
+        # the identity and only the col 150:850 crop + window scaling apply
+        ir = rng.integers(IR_LO, IR_HI, size=(320, 960)).astype(np.uint16)
+        ori = os.path.join(root, "train", "seq_00_day", "00", "fl_ir_aligned",
+                           f"{i:04d}.png")
+        os.makedirs(os.path.dirname(ori), exist_ok=True)
+        Image.fromarray(ir).save(ori)
+        u8 = np.round((ir[:, 150:850].astype(np.float32) - IR_LO)
+                      / (IR_HI - IR_LO) * 255.0).astype(np.uint8)
+        trans = os.path.join(root, "t_gate", "seq_00_day", "00", "fl_rgb",
+                             f"{i:04d}.png")
+        os.makedirs(os.path.dirname(trans), exist_ok=True)
+        Image.fromarray(u8, mode="L").save(trans)
+        names.append(ori)
+    lst = os.path.join(root, "image_list", "train_IR_data.txt")
+    os.makedirs(os.path.dirname(lst), exist_ok=True)
+    with open(lst, "w") as f:
+        f.write("\n".join(names) + "\n")
+    return root
+
+
+def test_distance_evaluate_cli_near_identity(tmp_path, capsys):
+    root = _build_tree(str(tmp_path / "freiburg"))
+    l1, ssim = distance_evaluate.main([
+        "-checkpoint_name", "t_gate.pth", "--freiburg_root", root,
+        "-batch_size", "2"])
+    assert l1 < 0.01, l1          # uint8 quantization only
+    assert ssim > 0.95, ssim
+    out = capsys.readouterr().out
+    assert "Model: t_gate" in out and "L1 distance:" in out
