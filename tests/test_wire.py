@@ -136,3 +136,27 @@ def test_randomized_roundtrip_many_dtypes():
             np.testing.assert_array_equal(np.asarray(out[k]), want,
                                           err_msg=f"trial {trial} key {k} "
                                                   f"dtype {arr.dtype}")
+
+
+def test_width_memo_pins_spec_across_straddling_batches():
+    """A batch whose int values straddle a width boundary must not flip the
+    spec back and forth (each flip = one jitted-unpack retrace). With a
+    width_memo (as PackedFeed threads), the width only ever widens."""
+    small = {"v": np.arange(4 * 3, dtype=np.int64).reshape(4, 3)}       # u8
+    big = {"v": (np.arange(4 * 3, dtype=np.int64) + 300).reshape(4, 3)}  # i16
+
+    # bare pack_batch: specs legitimately differ
+    spec_small = pack_batch(small)[2]
+    spec_big = pack_batch(big)[2]
+    assert spec_small != spec_big
+
+    memo = {}
+    s1 = pack_batch(small, width_memo=memo)[2]
+    s2 = pack_batch(big, width_memo=memo)[2]
+    s3 = pack_batch(small, width_memo=memo)[2]  # pinned: stays at i16
+    assert s2 == s3
+    assert s1 != s2  # one widening is allowed...
+    for batch in (small, big, small):
+        host, packed, spec = pack_batch(batch, width_memo=memo)
+        out = unpack_batch(jnp.asarray(packed), host, spec)
+        np.testing.assert_array_equal(np.asarray(out["v"]), batch["v"])
