@@ -477,10 +477,7 @@ def bench_convergence():
     quantitative accuracy artifact (the north-star real-data threshold 0.52,
     self_train_main.py:53, needs the real dataset; this proves the training
     machinery can converge at all)."""
-    import contextlib
-    import io
     import os
-    import re
     import tempfile
 
     from tests.synthetic import make_learnable_freiburg_tree
@@ -549,9 +546,7 @@ def bench_selftrain_gate():
     Asserts adapted mIoU >= source mIoU + 0.05 and writes SELFTRAIN_GATE.json.
     """
     import contextlib
-    import io
     import os
-    import re
     import tempfile
 
     from tests.synthetic import make_selftrain_freiburg_tree
@@ -755,9 +750,7 @@ def bench_pipeline_gate():
     the GAN-gate workdir (stages 1-2 skip if their outputs exist).
     """
     import contextlib
-    import io
     import os
-    import re
     import shutil
     import tempfile
 
@@ -813,7 +806,7 @@ def bench_pipeline_gate():
         trans_pngs = glob_mod.glob(os.path.join(
             root, "translation", "seq_00_day", "00", "fl_rgb", "*.png"))
         ckpt_mtime = os.path.getmtime(os.path.join(ckpt_dir, "g_gate.pth"))
-        if (len(trans_pngs) != len(src_pngs)
+        if (not trans_pngs or len(trans_pngs) != len(src_pngs)
                 or min(map(os.path.getmtime, trans_pngs)) < ckpt_mtime):
             translator.main(["-dataset", "freiburg_rgb", "-batch_size", "8",
                              "-checkpoint_name", "g_gate.pth",

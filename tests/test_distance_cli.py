@@ -49,3 +49,29 @@ def test_distance_evaluate_cli_near_identity(tmp_path, capsys):
     assert ssim > 0.95, ssim
     out = capsys.readouterr().out
     assert "Model: t_gate" in out and "L1 distance:" in out
+
+
+def test_near_black_translation_still_rescaled(tmp_path):
+    """A uint8 frame whose every pixel is <= 1 must still be scored /255:
+    a value-range heuristic alone would treat it as already-[0,1] floats."""
+    from thermal_semantic_segmentation_tpu.data.simple import DistanceDataset
+
+    root = str(tmp_path / "freiburg")
+    ir = np.full((320, 960), IR_LO + 13, dtype=np.uint16)  # u8 render == 1
+    ori = os.path.join(root, "train", "seq_00_day", "00", "fl_ir_aligned",
+                       "0000.png")
+    os.makedirs(os.path.dirname(ori))
+    Image.fromarray(ir).save(ori)
+    trans = os.path.join(root, "t_gate", "seq_00_day", "00", "fl_rgb",
+                         "0000.png")
+    os.makedirs(os.path.dirname(trans))
+    Image.fromarray(np.ones((320, 700), dtype=np.uint8), mode="L").save(trans)
+    lst = os.path.join(root, "image_list", "train_IR_data.txt")
+    os.makedirs(os.path.dirname(lst))
+    with open(lst, "w") as f:
+        f.write(ori + "\n")
+    item = DistanceDataset(root, "t_gate").get(0, np.random.default_rng(0))
+    # scaled: 1/255 = 0.0039 vs original 13/3200 = 0.0041 — near-identical
+    assert abs(float(item["translated"].mean())
+               - float(item["original"].mean())) < 1e-3
+    assert item["translated"].max() < 0.01  # NOT 1.0 (the unscaled bug)

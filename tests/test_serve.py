@@ -297,3 +297,43 @@ def test_http_surface(server):
         assert err.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_keepalive_connection_survives_early_exit_responses(server):
+    """HTTP/1.1 keep-alive: responses sent before the request body is read
+    (404 on a bad path) must drain or close — otherwise the unread body is
+    parsed as the NEXT request line and a well-behaved client sees a corrupt
+    response on its next use of the connection."""
+    import http.client
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(server, {"checkpoint": "ka"}))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    u16 = (np.random.default_rng(9).integers(21000, 26000, (40, 120))
+           .astype(np.uint16))
+    payload = _png_bytes(u16)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        # 1. POST a real body to a bad path -> 404, body must be drained
+        conn.request("POST", "/nope", body=payload)
+        assert conn.getresponse().read() == b"not found"
+        # 2. the SAME connection must still speak clean HTTP
+        conn.request("POST", "/segment?format=ids", body=payload)
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200, (resp.status, body[:100])
+        ids = np.asarray(Image.open(io.BytesIO(body)))
+        assert ids.shape == HW
+        # 3. a bad-image 400 (body fully read) also keeps the conn usable
+        conn.request("POST", "/segment", body=b"not a png")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        conn.request("POST", "/segment?format=ids", body=payload)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
+        conn.close()
+    finally:
+        httpd.shutdown()

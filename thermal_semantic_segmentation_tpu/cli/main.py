@@ -154,7 +154,7 @@ def gan_main(args):
     loss_dict: dict = {}
     epoch_counter_ratio: list = []
 
-    def _push_panels(i_global, reals, fakes):
+    def _push_panels(reals, fakes):
         # NHWC [-1, 1] -> CHW panels, one image per window like the reference
         for name, arr in {**reals, **fakes}.items():
             img = np.asarray(arr[0], dtype=np.float32).transpose(2, 0, 1)
@@ -218,7 +218,7 @@ def gan_main(args):
                         meters[k].update(v, real_s.shape[0])
                 progress.display(i)
                 if vis_live:
-                    _push_panels(i, {"real_s": real_s, "real_t": real_t},
+                    _push_panels({"real_s": real_s, "real_t": real_t},
                                  img_outs)  # fake_t (+ fake_s when cycle)
                     for k, v in vals.items():
                         if k in meters:

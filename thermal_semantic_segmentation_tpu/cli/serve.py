@@ -297,6 +297,23 @@ def make_handler(server: InferenceServer, model_info: dict):
             self.end_headers()
             self.wfile.write(body)
 
+        def _drain_body(self):
+            # under HTTP/1.1 keep-alive, a response sent with the request
+            # body still unread leaves those bytes to be parsed as the NEXT
+            # request line; drain (or, if the length is unknowable, close)
+            # before replying on any early-exit path
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self.close_connection = True
+                return
+            while n > 0:
+                chunk = self.rfile.read(min(n, 1 << 16))
+                if not chunk:
+                    self.close_connection = True
+                    return
+                n -= len(chunk)
+
         def do_GET(self):
             if self.path.split("?")[0] == "/healthz":
                 info = dict(model_info, status="ok",
@@ -304,6 +321,7 @@ def make_handler(server: InferenceServer, model_info: dict):
                             requests_served=server.requests_served)
                 self._send(200, json.dumps(info).encode(), "application/json")
             else:
+                self._drain_body()
                 self._send(404, b"not found", "text/plain")
 
         def do_POST(self):
@@ -317,16 +335,24 @@ def make_handler(server: InferenceServer, model_info: dict):
             elif path == "/segment_stream":
                 self._segment_stream(fmt)
             else:
+                self._drain_body()
                 self._send(404, b"not found", "text/plain")
 
         def _segment_one(self, fmt):
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                pred = server.segment(self.rfile.read(length))
+                data = self.rfile.read(length)
+            except Exception as e:
+                self.close_connection = True  # body state unknown
+                self._send(400, f"bad request: {e}".encode(), "text/plain")
+                return
+            try:
+                pred = server.segment(data)
             except InferenceError as e:
                 self._send(500, f"inference failed: {e}".encode(), "text/plain")
                 return
             except Exception as e:
+                # body fully read above: the connection stays reusable
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
                 return
             body, ctype = encode_result(pred, fmt, palette)

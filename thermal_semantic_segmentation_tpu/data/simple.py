@@ -95,8 +95,11 @@ class DistanceDataset:
             ori = np.uint8(arr).astype(np.float32) / 255.0
         else:
             raise ValueError("Not a valid domain.")
-        trans = np.asarray(Image.open(trans_name), dtype=np.float32)
-        if trans.dtype == np.uint8 or trans.max() > 1.5:
+        raw = np.asarray(Image.open(trans_name))
+        trans = raw.astype(np.float32)
+        # check the SOURCE dtype: a near-black uint8 frame (max <= 1) would
+        # slip past a value-range heuristic and be scored unscaled
+        if raw.dtype == np.uint8 or trans.max() > 1.5:
             trans = trans / 255.0
         if trans.ndim == 2:
             trans = trans[..., None]
