@@ -18,3 +18,16 @@ is single-device).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# TSS_PLATFORM=cpu forces the JAX backend for every CLI/script importing this
+# package — needed on hosts where a TPU plugin is installed but no device is
+# reachable (CI, recipe smokes): plugins may ignore the JAX_PLATFORMS env var
+# alone, so set the config flag before any device use.
+_platform = _os.environ.get("TSS_PLATFORM")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)
+del _os
