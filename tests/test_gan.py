@@ -318,3 +318,67 @@ def test_fused_passes_match_sequential():
                         jax.tree.leaves(results[False][idx])):
             np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6,
                                        err_msg=name)
+
+
+@pytest.mark.slow
+def test_cyclegan_semantic_consistency_loss():
+    """-sem_loss path (train_gan.py:126 semantics; the reference main.py's
+    own train.py:201 crashes on an undefined label_s): frozen legacy seg
+    nets score fake_t against label_s and fake_s against argmax(real_t
+    preds). Gradients must flow to the generators but NOT to the sem nets."""
+    from thermal_semantic_segmentation_tpu.models.deeplab import DeepLabV2
+
+    key = jax.random.key(0)
+    g_s2t = unet_32(ngf=8, output_nc=1)
+    g_t2s = unet_32(ngf=8, output_nc=3)
+    d_t, d_s = patchgan(ndf=8), patchgan(ndf=8, input_nc=3)
+    g_vars = {"s2t": init_gan_net(g_s2t, key, (1, 32, 64, 3)),
+              "t2s": init_gan_net(g_t2s, key, (1, 32, 64, 1))}
+    d_vars = {"t": init_gan_net(d_t, key, (1, 32, 64, 1)),
+              "s": init_gan_net(d_s, key, (1, 32, 64, 3))}
+    sem_s = DeepLabV2(num_classes=19, num_channels=3, head="legacy",
+                      layers=(1, 1, 1, 1))
+    sem_t = DeepLabV2(num_classes=19, num_channels=1, head="legacy",
+                      layers=(1, 1, 1, 1))
+    sem_vars = {"s": init_gan_net(sem_s, key, (1, 32, 64, 3)),
+                "t": init_gan_net(sem_t, key, (1, 32, 64, 1))}
+    sem_vars_np = jax.tree.map(np.asarray, sem_vars)  # frozen snapshot
+
+    state = create_gan_state(g_vars=g_vars, d_vars=d_vars, learning_rate=1e-3)
+    g_step, d_step = make_gan_steps(
+        g_apply={"s2t": g_s2t.apply, "t2s": g_t2s.apply},
+        d_apply={"t": d_t.apply, "s": d_s.apply},
+        cycle=True, sem_apply={"s": sem_s.apply, "t": sem_t.apply})
+
+    rng = np.random.default_rng(0)
+    real_s = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 3)).astype(np.float32))
+    real_t = jnp.asarray(rng.uniform(-1, 1, (2, 32, 64, 1)).astype(np.float32))
+    label_s = jnp.asarray(rng.integers(0, 19, (2, 32, 64)))
+    g0 = np.asarray(jax.tree.leaves(state.g_params["s2t"])[0]).copy()
+    state, metrics, outs = g_step(state, real_s, real_t, label_s, sem_vars,
+                                  with_sem=True)
+    assert np.isfinite(float(metrics["sem_s2t"]))
+    assert np.isfinite(float(metrics["sem_t2s"]))
+    assert float(metrics["sem_s2t"]) > 0.0  # CE on random preds is positive
+    g1 = np.asarray(jax.tree.leaves(state.g_params["s2t"])[0])
+    assert not np.allclose(g0, g1)  # grads flowed to the generator
+    # ...and the frozen sem nets were not touched by the update
+    for a, b in zip(jax.tree.leaves(sem_vars_np),
+                    jax.tree.leaves(jax.tree.map(np.asarray, sem_vars))):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_gan_to_seg_tensor_matches_reference_transmit():
+    """tensor_transmit (train.py:60-75): de-normalize, BGR flip + ImageNet
+    mean subtraction for source, thermal mean subtraction for target."""
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (2, 4, 6, 3)).astype(np.float32)
+    out = np.asarray(gan_to_seg_tensor(jnp.asarray(x), "source"))
+    denorm = (x * 0.5 + 0.5) * 255.0
+    expect = denorm[..., ::-1] - np.asarray(
+        [104.00698793, 116.66876762, 122.67891434], np.float32)
+    np.testing.assert_allclose(out, expect, rtol=1e-6)
+    t = rng.uniform(-1, 1, (2, 4, 6, 1)).astype(np.float32)
+    out_t = np.asarray(gan_to_seg_tensor(jnp.asarray(t), "target"))
+    np.testing.assert_allclose(
+        out_t, (t * 0.5 + 0.5) * 255.0 - 116.66876762, rtol=1e-6)
