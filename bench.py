@@ -16,8 +16,37 @@ hardware the reference targeted. BASELINE.json's target is >5x that anchor.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
+
+
+def _wait_for_backend(probes=8, interval_s=45):
+    """Block until the JAX backend initializes, probing in a subprocess.
+
+    The axon TPU backend can be Unavailable for stretches (tunnel flaps);
+    probing in a child keeps this process's jax state clean so the real
+    import below starts fresh.  Bounded: gives up after `probes` attempts
+    and lets the normal import raise its own error.
+    """
+    probe = [sys.executable, "-c", "import jax; jax.devices()"]
+    for i in range(probes):
+        try:
+            r = subprocess.run(probe, capture_output=True, timeout=120)
+        except subprocess.TimeoutExpired:
+            r = None
+        if r is not None and r.returncode == 0:
+            if i:
+                print(f"backend up after {i + 1} probes", file=sys.stderr)
+            return
+        print(f"backend unavailable (probe {i + 1}/{probes}); "
+              f"retrying in {interval_s}s", file=sys.stderr)
+        time.sleep(interval_s)
+
+
+if os.environ.get("TSS_BENCH_NO_PROBE") != "1":
+    _wait_for_backend()
 
 import jax
 import jax.numpy as jnp
