@@ -172,3 +172,41 @@ def test_resize_only_call_keeps_disk_tier(tmp_path):
         assert decode_cache().disk_dir is None
     finally:
         set_decode_cache(0, disk_dir=None)
+
+
+def test_disk_tier_invalidates_on_newer_source(tmp_path):
+    """A source file regenerated AFTER its decode was persisted (e.g. the
+    translator re-writing translation PNGs after GAN retraining) must be
+    re-decoded, not served stale from the disk tier."""
+    import os
+    import time
+
+    disk = str(tmp_path / "decoded")
+    src = tmp_path / "frame.png"
+    src.write_bytes(b"v1")
+    payload = {"v": np.zeros((4, 4), np.float32)}
+
+    def decode():
+        return payload["v"].copy()
+
+    key = ("translated", str(src))
+    c1 = DecodeCache(max_bytes=0, disk_dir=disk)
+    first = c1.get_or_decode(key, decode)
+    np.testing.assert_array_equal(first, 0)
+
+    # regenerate the source with a strictly newer mtime than the persisted
+    # decode (backdate the .npy: real runs separate the two by wall time)
+    payload["v"] = np.ones((4, 4), np.float32)
+    src.write_bytes(b"v2")
+    past = time.time() - 10
+    os.utime(c1._disk_path(key), (past, past))
+
+    c2 = DecodeCache(max_bytes=0, disk_dir=disk)
+    second = c2.get_or_decode(key, decode)
+    np.testing.assert_array_equal(second, 1)   # fresh decode, not stale
+    assert c2.disk_hits == 0
+    # and the new decode was re-persisted: a third instance disk-hits it
+    c3 = DecodeCache(max_bytes=0, disk_dir=disk)
+    third = c3.get_or_decode(key, lambda: 1 / 0)
+    np.testing.assert_array_equal(third, 1)
+    assert c3.disk_hits == 1

@@ -337,3 +337,43 @@ def test_keepalive_connection_survives_early_exit_responses(server):
         conn.close()
     finally:
         httpd.shutdown()
+
+
+def test_segment_without_content_length_is_411(server):
+    """Chunked POST /segment: the unread chunked body would otherwise be
+    parsed as the next keep-alive request line. The endpoint must refuse
+    up front and close; a fresh connection then works normally."""
+    import http.client
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(server, {"checkpoint": "te"}))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/segment", body=iter([b"\0" * 16]),
+                     headers={"Transfer-Encoding": "chunked"})
+        resp = conn.getresponse()
+        assert resp.status == 411, resp.status
+        resp.read()
+        conn.close()
+        # chunked POST to an unknown path must not poison keep-alive either:
+        # the server closes the connection instead of misparsing the body
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/nope", body=iter([b"\0" * 16]),
+                     headers={"Transfer-Encoding": "chunked"})
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        assert resp.isclosed()
+        conn.close()
+        # server still healthy on a fresh connection
+        u16 = (np.random.default_rng(2).integers(21000, 26000, (40, 120))
+               .astype(np.uint16))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/segment?format=ids",
+            data=_png_bytes(u16), method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200
+    finally:
+        httpd.shutdown()

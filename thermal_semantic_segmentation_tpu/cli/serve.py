@@ -302,6 +302,13 @@ def make_handler(server: InferenceServer, model_info: dict):
             # body still unread leaves those bytes to be parsed as the NEXT
             # request line; drain (or, if the length is unknowable, close)
             # before replying on any early-exit path
+            if ("Content-Length" not in self.headers
+                    and self.headers.get("Transfer-Encoding")):
+                # chunked body: length unknowable without parsing the
+                # framing — close instead of leaving it to corrupt the
+                # next keep-alive request
+                self.close_connection = True
+                return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
             except ValueError:
@@ -339,6 +346,15 @@ def make_handler(server: InferenceServer, model_info: dict):
                 self._send(404, b"not found", "text/plain")
 
         def _segment_one(self, fmt):
+            if "Content-Length" not in self.headers:
+                # same hazard as /segment_stream: a chunked body would be
+                # read as empty and its unread bytes would be parsed as the
+                # next keep-alive request line. Require a length up front.
+                self.close_connection = True
+                self._send(411, b"length required: /segment needs "
+                                b"Content-Length (chunked upload unsupported)",
+                           "text/plain")
+                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 data = self.rfile.read(length)

@@ -18,8 +18,10 @@ decoded frames as .npy files keyed by a hash of (kind, path), so a FRESH
 process's first epoch loads at the warm-RAM rate instead of paying PNG
 decode again — repeated experiments and cold starts skip straight to fast.
 Writes are atomic (tmp + rename), reads feed the RAM LRU. The directory is
-unbounded by design (a decoded mirror of the dataset, ~1.3x the PNG bytes);
-delete it to invalidate.
+unbounded by design (a decoded mirror of the dataset, ~1.3x the PNG bytes).
+A cached decode whose source file has a newer mtime (e.g. translations
+re-written after GAN retraining) is treated as a miss and re-decoded;
+deleting the directory invalidates everything wholesale.
 
 Thread-safe (the DataLoader decodes from a thread pool). Entries are numpy
 arrays; callers re-wrap with ``Image.fromarray`` per use so cached data is
@@ -48,6 +50,13 @@ class DecodeCache:
         self.misses = 0
         self.disk_hits = 0
 
+    @staticmethod
+    def _src_path(key: Hashable) -> Optional[str]:
+        # cache-key convention (data/freiburg.py): (kind, source_path, ...)
+        if isinstance(key, tuple) and len(key) > 1 and isinstance(key[1], str):
+            return key[1]
+        return None
+
     def _disk_path(self, key: Hashable) -> str:
         h = hashlib.sha1(repr(key).encode()).hexdigest()
         return os.path.join(self.disk_dir, f"{h}.npy")
@@ -56,13 +65,29 @@ class DecodeCache:
         # EOFError covers a zero-byte file left by a crash between
         # os.replace and the data reaching disk (no fsync, by design) —
         # without it one corrupt file would crash every later run
+        path = self._disk_path(key)
+        src = self._src_path(key)
+        if src is not None:
+            try:
+                stale = os.path.getmtime(src) > os.path.getmtime(path)
+            except OSError:
+                stale = False  # source/entry unstat-able: can't validate
+            if stale:
+                # source regenerated since the decode was persisted (e.g. the
+                # translator re-wrote its PNGs after GAN retraining): serving
+                # the stale decode would silently train on the OLD data
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+                return None
         try:
-            arr = np.load(self._disk_path(key), allow_pickle=False)
+            arr = np.load(path, allow_pickle=False)
             self.disk_hits += 1
             return arr
         except (OSError, ValueError, EOFError):
             try:  # drop the corrupt file so the re-decode below repairs it
-                os.unlink(self._disk_path(key))
+                os.unlink(path)
             except OSError:
                 pass
             return None

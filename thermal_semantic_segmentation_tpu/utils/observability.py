@@ -49,12 +49,23 @@ class VisdomPlotter:
         except Exception:
             self.vis = None
 
+    def _post(self, fn, *args, **kwargs) -> None:
+        # a visdom server that drops mid-run (restart, network blip) must
+        # not take hours of training down with it: on any post failure go
+        # inert for the rest of the run, exactly like "no server at start"
+        try:
+            fn(*args, **kwargs)
+        except Exception as e:  # visdom raises ConnectionError subclasses
+            print(f"visdom post failed ({e!r}); live panels disabled")
+            self.vis = None
+
     def plot_loss(self, epoch_counter_ratio, losses: Dict[str, list]) -> None:
         if self.vis is None:
             return
         import numpy as np
         legend = list(losses.keys())
-        self.vis.line(
+        self._post(
+            self.vis.line,
             X=np.array(epoch_counter_ratio),
             Y=np.array([losses[k] for k in legend]).transpose(),
             opts={"title": " loss over time", "legend": legend,
@@ -64,8 +75,8 @@ class VisdomPlotter:
     def images(self, tensor, win: str, title: Optional[str] = None) -> None:
         if self.vis is None:
             return
-        self.vis.images(tensor, win=win, padding=2,
-                        opts=dict(title=title or win, caption=title or win))
+        self._post(self.vis.images, tensor, win=win, padding=2,
+                   opts=dict(title=title or win, caption=title or win))
 
 
 @contextlib.contextmanager
