@@ -1,0 +1,104 @@
+"""StableHLO deployment artifacts (core/stablehlo.py, cli/export_stablehlo).
+
+The artifact must be self-contained (weights baked in), batch-polymorphic,
+and bit-identical to the direct eval-protocol forward after a full
+serialize -> deserialize round trip.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thermal_semantic_segmentation_tpu.core.stablehlo import (
+    export_seg_forward, exported_sidecar, load_exported, save_exported)
+from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+from thermal_semantic_segmentation_tpu.ops.resize import upsample_logits
+
+TINY = dict(num_classes=13, num_channels=1, layers=(1, 1, 1, 1),
+            image_size=(64, 128))
+HW = (64, 128)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model, variables = create_deeplab(jax.random.key(0), **TINY)
+    return model, jax.tree.map(np.asarray, variables)
+
+
+def _direct_ids(model, variables, x):
+    out = model.apply(variables, jnp.asarray(x), train=False)
+    logits = upsample_logits(out["out"], *HW)
+    return np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.uint8))
+
+
+def test_symbolic_batch_roundtrip_matches_direct_forward(tiny, tmp_path):
+    model, variables = tiny
+    exported = export_seg_forward(model, variables, label_hw=HW,
+                                  batch=None, platforms=("cpu",))
+    path = str(tmp_path / "m.stablehlo")
+    sidecar = save_exported(exported, path, meta={"output": "ids"})
+    assert sidecar["input"][0]["shape"][0] == "b"   # symbolic batch recorded
+
+    back = load_exported(path)
+    rng = np.random.default_rng(0)
+    for bs in (2, 5):  # one artifact, multiple batch sizes
+        x = rng.uniform(0, 1, size=(bs, *HW, 1)).astype(np.float32)
+        got = np.asarray(back.call(x))
+        np.testing.assert_array_equal(got, _direct_ids(model, variables, x))
+        assert got.dtype == np.uint8 and got.shape == (bs, *HW)
+
+
+def test_logits_output_and_fixed_batch(tiny, tmp_path):
+    model, variables = tiny
+    exported = export_seg_forward(model, variables, label_hw=HW,
+                                  batch=3, output="logits",
+                                  platforms=("cpu",))
+    back = jax.export.deserialize(exported.serialize())
+    x = np.random.default_rng(1).uniform(0, 1, (3, *HW, 1)).astype(np.float32)
+    got = np.asarray(back.call(x))
+    out = model.apply(variables, jnp.asarray(x), train=False)
+    ref = np.asarray(upsample_logits(out["out"], *HW), dtype=np.float32)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_multiplatform_export_records_tpu_and_cpu(tiny):
+    model, variables = tiny
+    exported = export_seg_forward(model, variables, label_hw=HW, batch=2,
+                                  platforms=("tpu", "cpu"))
+    assert exported.platforms == ("tpu", "cpu")
+    # still callable on this (cpu) host
+    x = np.zeros((2, *HW, 1), np.float32)
+    got = np.asarray(jax.export.deserialize(exported.serialize()).call(x))
+    np.testing.assert_array_equal(got, _direct_ids(model, variables, x))
+
+
+def test_cli_end_to_end_from_checkpoint(tmp_path, tiny):
+    from thermal_semantic_segmentation_tpu.cli import export_stablehlo
+    from thermal_semantic_segmentation_tpu.cli._common import (
+        save_seg_checkpoint)
+
+    model, variables = tiny
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    save_seg_checkpoint(str(ckpt_dir / "s.pth"), variables,
+                        layers=[1, 1, 1, 1], num_channels=1, num_classes=13)
+    out = str(tmp_path / "artifact.stablehlo")
+    export_stablehlo.main([
+        "-checkpoint_name", "s.pth", "--model_root_path", str(ckpt_dir),
+        "--out", out, "--platforms", "cpu", "--batch", "2",
+        "--check", "true"])  # --check raises on any ids mismatch
+    assert os.path.exists(out) and os.path.exists(out + ".json")
+    sidecar = exported_sidecar(out)
+    assert sidecar["checkpoint"] == "s.pth"
+    assert sidecar["platforms"] == ["cpu"]
+    # artifact runs the PROTOCOL shapes: (b, 256, 512, 1) -> (b, 256, 512)
+    back = load_exported(out)
+    x = np.random.default_rng(2).uniform(
+        0, 1, (2, 256, 512, 1)).astype(np.float32)
+    ids = np.asarray(back.call(x))
+    assert ids.shape == (2, 256, 512) and ids.dtype == np.uint8
+    assert ids.max() < 13
