@@ -102,3 +102,39 @@ def test_cli_end_to_end_from_checkpoint(tmp_path, tiny):
     ids = np.asarray(back.call(x))
     assert ids.shape == (2, 256, 512) and ids.dtype == np.uint8
     assert ids.max() < 13
+
+
+def test_generator_export_cli(tmp_path):
+    """GAN generator export: a deployable translator artifact — tanh image
+    out must match the direct forward after serialize/deserialize."""
+    from thermal_semantic_segmentation_tpu.cli import export_stablehlo
+    from thermal_semantic_segmentation_tpu.core.checkpoint import (
+        save_checkpoint)
+    from thermal_semantic_segmentation_tpu.models.factory import (
+        init_gan_net, unet_256)
+
+    model = unet_256(ngf=4, input_nc=3, output_nc=1)
+    variables = init_gan_net(model, jax.random.key(0), (1, 256, 512, 3))
+    ckpt_dir = tmp_path / "gan"
+    ckpt_dir.mkdir()
+    save_checkpoint(str(ckpt_dir / "g.pth"),
+                    {"epoch": 0, "g_vars": {"s2t": variables}})
+
+    out = str(tmp_path / "g_s2t.stablehlo")
+    export_stablehlo.main([
+        "--kind", "generator", "-checkpoint_name", "g.pth",
+        "-generator_type", "s2t", "-input_nc", "3", "-output_nc", "1",
+        "--gan_model_root_path", str(ckpt_dir),
+        "--out", out, "--platforms", "cpu", "--batch", "2",
+        "--check", "true"])  # --check asserts parity vs the direct forward
+    sidecar = exported_sidecar(out)
+    assert sidecar["output_kind"] == "translation" and sidecar["ngf"] == 4
+
+    back = load_exported(out)
+    x = np.random.default_rng(3).uniform(
+        -1, 1, (2, 256, 512, 3)).astype(np.float32)
+    y = np.asarray(back.call(x))
+    assert y.shape == (2, 256, 512, 1) and y.dtype == np.float32
+    ref = np.asarray(model.apply(variables, jnp.asarray(x), train=False,
+                                 mutable=False), dtype=np.float32)
+    np.testing.assert_allclose(y, ref, atol=1e-4)

@@ -22,11 +22,21 @@ def export_stablehlo_parse():
     from .options import HostConfigParser, _add_roots, str2bool
 
     parser = HostConfigParser(
-        description="export a seg checkpoint to serialized StableHLO")
+        description="export a seg/generator checkpoint to serialized StableHLO")
+    parser.add_argument("--kind", type=str, default="seg",
+                        choices=["seg", "generator"],
+                        help="'seg': eval-protocol segmenter forward; "
+                             "'generator': GAN translator forward "
+                             "(normalized image in, tanh image out)")
     parser.add_argument("-checkpoint_name", type=str,
                         default="256_freiburg_segmentation.pth")
     parser.add_argument("-net_mode", type=str, default="one_channel")
     parser.add_argument("-num_classes", type=int, default=13)
+    parser.add_argument("-generator_type", type=str, default="s2t",
+                        choices=["s2t", "t2s"],
+                        help="which generator to export from a GAN ckpt")
+    parser.add_argument("-input_nc", type=int, default=3)
+    parser.add_argument("-output_nc", type=int, default=1)
     parser.add_argument("--out", type=str, default="",
                         help="artifact path (default: <ckpt-stem>_<output>"
                              ".stablehlo next to the checkpoint)")
@@ -47,35 +57,81 @@ def export_stablehlo_parse():
 
 
 def main(argv=None):
-    from ._common import apply_model_meta, build_deeplab, load_seg_checkpoint
     from ..core.stablehlo import (_default_artifact_name, _self_check,
+                                  export_generator_forward,
                                   export_seg_forward, save_exported)
 
     args = export_stablehlo_parse().parse_args(argv)
-    ckpt_path = os.path.join(args.model_root_path, args.checkpoint_name)
-    variables, meta = load_seg_checkpoint(ckpt_path)
-    apply_model_meta(args, meta)
-    model, _ = build_deeplab(args, abstract=True)
-    channels = 1 if args.net_mode == "one_channel" else 3
     batch = None if args.batch == "dynamic" else int(args.batch)
     platforms = [p.strip() for p in args.platforms.split(",") if p.strip()]
 
-    exported = export_seg_forward(
-        model, variables, channels=channels, batch=batch,
-        output=args.output, platforms=platforms)
+    if args.kind == "seg":
+        from ._common import (apply_model_meta, build_deeplab,
+                              load_seg_checkpoint)
+
+        ckpt_path = os.path.join(args.model_root_path, args.checkpoint_name)
+        variables, meta = load_seg_checkpoint(ckpt_path)
+        apply_model_meta(args, meta)
+        model, _ = build_deeplab(args, abstract=True)
+        channels = 1 if args.net_mode == "one_channel" else 3
+        exported = export_seg_forward(
+            model, variables, channels=channels, batch=batch,
+            output=args.output, platforms=platforms)
+        extra = {"output_kind": args.output,
+                 "num_classes": int(args.num_classes), "channels": channels}
+        stem = args.output
+    else:
+        from ..core.checkpoint import load_checkpoint
+        from ..models.factory import unet_256
+
+        ckpt = load_checkpoint(os.path.join(args.gan_model_root_path,
+                                            args.checkpoint_name))
+        variables = ckpt["g_vars"][args.generator_type]
+        # the checkpoint is authoritative for the generator width
+        # (cli/translator.py: a non-default -ngf run must stay exportable)
+        ngf = int(variables["params"]["down0"]["kernel"].shape[-1])
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+        model = unet_256(ngf=ngf, input_nc=args.input_nc,
+                         output_nc=args.output_nc, dtype=dtype)
+        channels = args.input_nc
+        exported = export_generator_forward(
+            model, variables, channels=channels, batch=batch,
+            platforms=platforms)
+        extra = {"output_kind": "translation",
+                 "generator_type": args.generator_type, "ngf": ngf,
+                 "channels": channels, "output_nc": args.output_nc}
+        stem = f"g_{args.generator_type}"
+
     out = args.out or os.path.join(
-        args.model_root_path,
-        _default_artifact_name(args.checkpoint_name, args.output))
+        args.model_root_path if args.kind == "seg"
+        else args.gan_model_root_path,
+        _default_artifact_name(args.checkpoint_name, stem))
     sidecar = save_exported(exported, out, meta={
-        "checkpoint": args.checkpoint_name, "output_kind": args.output,
-        "num_classes": int(args.num_classes), "channels": channels})
+        "checkpoint": args.checkpoint_name, **extra})
     print(json.dumps({"artifact": out, **sidecar}))
 
     if args.check:
-        diff = _self_check(exported, channels, (256, 512), batch,
-                           model, variables, args.output)
-        kind = ("near-tie argmax flips" if args.output == "ids"
-                else "max abs logit diff")
+        if args.kind == "seg":
+            diff = _self_check(exported, channels, (256, 512), batch,
+                               model, variables, args.output)
+            kind = ("near-tie argmax flips" if args.output == "ids"
+                    else "max abs logit diff")
+        else:
+            import numpy as np
+            from jax import export as jexport
+            back = jexport.deserialize(exported.serialize())
+            x = np.random.default_rng(0).uniform(
+                -1, 1, size=(batch or 3, 256, 512, channels)
+            ).astype(np.float32)
+            ref = np.asarray(model.apply(variables, x, train=False,
+                                         mutable=False), dtype=np.float32)
+            diff = float(np.max(np.abs(np.asarray(back.call(x)) - ref)))
+            # bf16 compute re-folds with ~2^-8 relative precision on the
+            # tanh range; f32 exports must agree far tighter
+            tol = 1e-2 if getattr(args, "bf16", False) else 1e-4
+            assert diff < tol, f"generator export diverges: {diff}"
+            kind = "max abs image diff"
         print(f"self-check passed ({kind}: {diff:.3e})")
 
 

@@ -62,6 +62,29 @@ def export_seg_forward(model, variables, *, label_hw: Tuple[int, int] = HW,
     return jexport.export(jax.jit(forward), platforms=list(platforms))(spec)
 
 
+def export_generator_forward(model, variables, *, hw: Tuple[int, int] = HW,
+                             channels: int = 3, batch: Optional[int] = None,
+                             platforms: Sequence[str] = ("tpu", "cpu")):
+    """Export a GAN generator (normalized image in, tanh image out) — a
+    deployable offline/online translator (reference translator.py's model,
+    completed in cli/translator.py). Same artifact contract as
+    :func:`export_seg_forward`: weights baked in, optional symbolic batch."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    def forward(images):
+        out = model.apply(variables, images, train=False, mutable=False)
+        return out.astype(jnp.float32)
+
+    if batch is None:
+        b, = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+    spec = jax.ShapeDtypeStruct((b, *hw, channels), jnp.float32)
+    return jexport.export(jax.jit(forward), platforms=list(platforms))(spec)
+
+
 def save_exported(exported, path: str, meta: Optional[dict] = None) -> dict:
     """Serialize an Exported to ``path`` with a ``<path>.json`` sidecar
     describing the calling convention (shapes, dtypes, platforms)."""
