@@ -275,6 +275,57 @@ def bench_eval():
             "unit": "images/s", "batch": B}
 
 
+def bench_stablehlo():
+    """Inference through a serialized StableHLO artifact vs the framework
+    forward: the deployment path (weights baked in, deserialize + call)
+    must hold the eval-protocol rate. Runs on whatever backend is live."""
+    from thermal_semantic_segmentation_tpu.core.stablehlo import (
+        export_seg_forward)
+    from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+    from thermal_semantic_segmentation_tpu.ops.resize import upsample_logits
+
+    B = next((int(a.split("=")[1]) for a in sys.argv
+              if a.startswith("--batch=")), 8)
+    layers = tuple(int(x) for x in next(
+        (a.split("=")[1] for a in sys.argv if a.startswith("--layers=")),
+        "3,4,23,3").split(","))
+    model, variables = create_deeplab(jax.random.key(0), num_classes=13,
+                                      num_channels=1, dtype=jnp.bfloat16,
+                                      layers=layers, image_size=HW)
+
+    @jax.jit
+    def direct(variables, image):
+        out = model.apply(variables, image, train=False)
+        return jnp.argmax(upsample_logits(out["out"], *HW), -1).astype(jnp.uint8)
+
+    platform = jax.devices()[0].platform
+    exported = export_seg_forward(model, variables, batch=B,
+                                  platforms=(platform,))
+    blob = exported.serialize()
+    back = jax.export.deserialize(blob)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 1, (B, *HW, 1)).astype(np.float32))
+
+    def rate(fn):
+        _sync(fn(image))
+        t, n = time.perf_counter(), 20
+        for _ in range(n):
+            out = fn(image)
+        _sync(out)
+        return B * n / (time.perf_counter() - t)
+
+    r_direct = rate(lambda x: direct(variables, x))
+    call = jax.jit(back.call)
+    r_artifact = rate(call)
+    return {"metric": "stablehlo_artifact_images_per_sec",
+            "value": round(r_artifact, 2), "unit": "images/s",
+            "direct_forward": round(r_direct, 2),
+            "ratio_vs_direct": round(r_artifact / r_direct, 3),
+            "artifact_mb": round(len(blob) / 2**20, 1), "batch": B,
+            "platform": platform}
+
+
 def bench_pipeline():
     """END-TO-END seg-train throughput: host decode (PIL or native) + paired
     augs + collate + device transfer + jitted step, over a synthetic Freiburg
@@ -866,7 +917,8 @@ BENCHES = {"seg": bench_seg, "gan": bench_gan, "gan_fused": bench_gan_fused,
            "eval": bench_eval, "pipeline": bench_pipeline,
            "convergence": bench_convergence, "serve": bench_serve,
            "loader": bench_loader, "selftrain_gate": bench_selftrain_gate,
-           "gan_gate": bench_gan_gate, "pipeline_gate": bench_pipeline_gate}
+           "gan_gate": bench_gan_gate, "pipeline_gate": bench_pipeline_gate,
+           "stablehlo": bench_stablehlo}
 
 
 def main():
