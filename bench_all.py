@@ -816,13 +816,21 @@ def bench_pipeline_gate():
 
     workdir = next((a.split("=", 1)[1] for a in sys.argv
                     if a.startswith("--workdir=")), None)
+    # --smoke: a wiring dress-rehearsal (tiny tree, 1-2 epochs/stage) that
+    # exercises every stage transition of the FRESH-workdir path without
+    # chip-hours; quality asserts and the PIPELINE_GATE.json artifact are
+    # disabled (a smoke run must never overwrite the real gate evidence)
+    smoke = "--smoke" in sys.argv
+    n_train = 16 if smoke else 512
+    gan_epochs, seg_epochs, st_epochs = (("1", "2", "1") if smoke
+                                         else ("20", "60", "4"))
     ctx = (contextlib.nullcontext(workdir) if workdir
            else tempfile.TemporaryDirectory())
     with ctx as tmp:
         root = os.path.join(tmp, "datasets", "freiburg")
         ckpt_dir = os.path.join(tmp, "ckpt")
         if not os.path.isdir(root):
-            make_gan_freiburg_tree(root, n_train=512, n_test=8, seed=5)
+            make_gan_freiburg_tree(root, n_train=n_train, n_test=8, seed=5)
         elif not os.path.isdir(os.path.join(root, "test")):
             # a GAN-gate workdir: add the test split, drop stale manifests
             make_gan_freiburg_tree(root, n_train=0, n_test=8, seed=5)
@@ -843,7 +851,7 @@ def bench_pipeline_gate():
             gan_main_cli.main([
                 "-source_dataset", "freiburg_rgb",
                 "-target_dataset", "freiburg_ir", "-batch_size", "8",
-                "-num_epoch", "20", "-save_interval", "1000",
+                "-num_epoch", gan_epochs, "-save_interval", "1000",
                 "-checkpoint_name", "g_gate.pth",
                 "-new_checkpoint_name", "g_gate.pth", "--bf16", "true",
                 "--freiburg_root", root, "--gan_model_root_path", ckpt_dir,
@@ -872,7 +880,8 @@ def bench_pipeline_gate():
             lambda: segmentation_train.main([
                 "-dataset", "freiburg_translation",
                 "-translation_name", "translation",
-                "-epochs", "60", "-batch_size", "8", "-val_batch_size", "8",
+                "-epochs", seg_epochs, "-batch_size", "8",
+                "-val_batch_size", "8",
                 "-lr", "0.003",
                 "-new_checkpoint_name", "pipeline_seg.pth",
                 *common, *net1]))
@@ -893,7 +902,7 @@ def bench_pipeline_gate():
             "--root", tmp, "-checkpoint_name", "pipeline_seg.pth",
             "-new_checkpoint_name", "pipeline_st.pth",
             "-translation_name", "translation",
-            "--lr", "0.0003", "--epochs", "4", "--val_interval", "32",
+            "--lr", "0.0003", "--epochs", st_epochs, "--val_interval", "32",
             "-batch_size", "4", *common])
         miou_final = evaluate(os.path.join(ckpt_dir, "bestpipeline_st.pth"))
 
@@ -905,6 +914,11 @@ def bench_pipeline_gate():
               "protocol": "256x512, nanmean(iu[:11]), real-IR test split",
               "stages": "gan->translate->seg->pseudo->proto->selftrain->eval",
               "total_sec": round(time.perf_counter() - t0, 1)}
+    if smoke:
+        # wiring rehearsal only: every stage ran and produced consumable
+        # outputs; quality at these epoch counts is meaningless
+        print(json.dumps({**result, "smoke": True}))
+        return result
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "PIPELINE_GATE.json"), "w") as f:
         f.write(json.dumps(result) + "\n")

@@ -377,3 +377,88 @@ def test_segment_without_content_length_is_411(server):
             assert r.status == 200
     finally:
         httpd.shutdown()
+
+
+@pytest.fixture(scope="module")
+def translation_server():
+    from thermal_semantic_segmentation_tpu.cli.serve import (
+        make_translation_fns)
+    from thermal_semantic_segmentation_tpu.models.factory import (
+        init_gan_net, unet_256)
+
+    model = unet_256(ngf=4, input_nc=3, output_nc=1)
+    variables = init_gan_net(model, jax.random.key(0), (1, 256, 512, 3))
+    pre, predict, encode = make_translation_fns(
+        model, channels=3, normalize=[0.5, 0.5, 0.5], denormalize=[0.5])
+    srv = InferenceServer(model, variables, batch_size=4, max_wait_ms=30,
+                          label_hw=(256, 512), channels=3,
+                          predict_fn=predict, preprocess_fn=pre)
+    srv.warmup()
+    srv.start()
+    yield srv, model, variables, pre, encode
+    srv.stop()
+
+
+def test_translation_kind_http_roundtrip(translation_server):
+    """--kind translator: POST /translate returns the PNG the offline
+    translator would produce for the same input (same Normalize(m,m) in,
+    clip((y*d+d)*255) out; translator.py:36,104)."""
+    srv, model, variables, pre, encode = translation_server
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(srv, {"checkpoint": "g", "kind": "translator"},
+                     encode=encode,
+                     endpoints=("/translate", "/translate_stream")))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    rgb = (np.random.default_rng(7).integers(0, 256, (40, 120, 3))
+           .astype(np.uint8))
+    payload = _png_bytes(rgb)
+    try:
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/translate",
+                                     data=payload, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers.get("Content-Type") == "image/png"
+            img = Image.open(io.BytesIO(r.read()))
+        assert img.mode == "L" and img.size == (512, 256)
+
+        # parity with the direct forward (eval-mode BN: padding-safe)
+        x = pre(payload)[None]
+        ref = np.asarray(model.apply(variables, x, train=False,
+                                     mutable=False))
+        ref = np.clip((ref * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(np.asarray(img), ref[0, ..., 0])
+
+        # the seg endpoints do not exist on this kind
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/segment",
+                                     data=payload, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=60)
+        assert err.value.code == 404
+    finally:
+        httpd.shutdown()
+
+
+def test_translation_stream_endpoint(translation_server):
+    from thermal_semantic_segmentation_tpu.cli.serve import stream_segment
+
+    srv, model, variables, pre, encode = translation_server
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(srv, {"kind": "translator"}, encode=encode,
+                     endpoints=("/translate", "/translate_stream")))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    rng = np.random.default_rng(11)
+    frames = [_png_bytes(rng.integers(0, 256, (40, 120, 3)).astype(np.uint8))
+              for _ in range(3)]
+    try:
+        results = list(stream_segment(
+            f"http://127.0.0.1:{port}/translate_stream", frames,
+            timeout=300))
+        assert [s for s, _ in results] == [0, 0, 0]
+        for _, payload in results:
+            img = Image.open(io.BytesIO(payload))
+            assert img.mode == "L" and img.size == (512, 256)
+    finally:
+        httpd.shutdown()

@@ -16,6 +16,12 @@ Endpoints:
   POST /segment_stream     -> many images in ONE request, results streamed
                               back as they complete (chunked encoding)
 
+With ``--kind translator`` the server instead loads a GAN generator from a
+GAN checkpoint and serves ``POST /translate`` / ``POST /translate_stream``
+(PNG of the translated image) — the online counterpart of the offline
+``cli/translator.py``, with the same normalization semantics and the same
+micro-batcher.
+
 Input: PNG/JPEG bytes. 16-bit images get the Freiburg IR radiometric window
 (data/freiburg.py); 8-bit images are scaled to [0,1]. Everything is resized
 to the model's 256x512 protocol resolution (eval transform semantics).
@@ -97,7 +103,8 @@ class InferenceServer:
 
     def __init__(self, model, variables, *, batch_size: int = 8,
                  max_wait_ms: float = 10.0, label_hw=HW,
-                 wire_bf16: bool = False, channels: int = 1):
+                 wire_bf16: bool = False, channels: int = 1,
+                 predict_fn=None, preprocess_fn=None):
         import jax
         import jax.numpy as jnp
 
@@ -119,7 +126,12 @@ class InferenceServer:
             # uint8 ids: 4x fewer bytes on the device->host fetch
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
-        self._predict = predict
+        # predict_fn swaps the forward (e.g. a GAN generator for the
+        # translation kind) while keeping the micro-batcher identical;
+        # preprocess_fn swaps the request decoding to match
+        self._predict = predict_fn or predict
+        self._preprocess = preprocess_fn or (
+            lambda data: preprocess(data, self.label_hw, self.channels))
         # params live on device for the server's lifetime — passing host
         # numpy into the jit would re-upload every weight on every batch
         self._variables = jax.device_put(variables)
@@ -169,9 +181,9 @@ class InferenceServer:
         return out
 
     def segment(self, image_bytes: bytes) -> np.ndarray:
-        """Blocking helper: bytes in, (H, W) uint8 class ids out."""
-        result = self.submit(
-            preprocess(image_bytes, self.label_hw, self.channels)).get()
+        """Blocking helper: bytes in, the forward's per-image output out
+        ((H, W) uint8 class ids for the default segmentation kind)."""
+        result = self.submit(self._preprocess(image_bytes)).get()
         if isinstance(result, Exception):
             raise InferenceError(str(result))
         return result
@@ -246,6 +258,54 @@ def encode_result(pred: np.ndarray, fmt: str, palette) -> tuple:
     return buf.getvalue(), "image/png"
 
 
+def make_translation_fns(model, *, channels: int, normalize, denormalize,
+                         hw=HW):
+    """(preprocess_fn, predict_fn, encode) for serving a GAN generator —
+    the online counterpart of the offline ``cli/translator.py``: same
+    Normalize(m, m) input semantics and ``clip((y*d + d)*255)``
+    denormalization (translator.py:36,104), micro-batched like the seg
+    kind."""
+    import jax
+    import jax.numpy as jnp
+
+    mean = np.asarray(normalize, np.float32)
+    if channels == 1 and mean.size > 1:
+        mean = mean[:1]
+    denorm = np.asarray(denormalize, np.float32)
+
+    def preprocess_fn(image_bytes: bytes) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(image_bytes)).convert(
+            "RGB" if channels == 3 else "L")
+        arr = np.asarray(img.resize((hw[1], hw[0]), Image.BICUBIC),
+                         dtype=np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        if arr.shape[-1] != channels:
+            raise ValueError(f"expected {channels}-channel input, got "
+                             f"{arr.shape[-1]}")
+        return (arr - mean) / mean
+
+    @jax.jit
+    def predict_fn(variables, images):
+        out = model.apply(variables, images, train=False, mutable=False)
+        # denormalize on device: uint8 is 4x fewer device->host bytes
+        return jnp.clip((out * denorm + denorm) * 255.0, 0, 255
+                        ).astype(jnp.uint8)
+
+    def encode(pred: np.ndarray, fmt: str) -> tuple:
+        from PIL import Image
+
+        arr = pred[..., 0] if pred.shape[-1] == 1 else pred
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode="L" if arr.ndim == 2 else "RGB").save(
+            buf, format="PNG")
+        return buf.getvalue(), "image/png"
+
+    return preprocess_fn, predict_fn, encode
+
+
 def _read_exact(fp, n: int) -> bytes:
     parts = []
     while n:
@@ -276,10 +336,13 @@ def stream_segment(url: str, images, timeout: float = 300.0):
             yield head[0], _read_exact(resp, length)
 
 
-def make_handler(server: InferenceServer, model_info: dict):
+def make_handler(server: InferenceServer, model_info: dict, *,
+                 encode=None, endpoints=("/segment", "/segment_stream")):
     from ..data.palette import freiburg_palette
 
     palette = freiburg_palette()
+    encode_fn = encode or (lambda pred, fmt: encode_result(pred, fmt, palette))
+    one_path, stream_path = endpoints
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 enables chunked responses for /segment_stream (and
@@ -337,9 +400,9 @@ def make_handler(server: InferenceServer, model_info: dict):
             for part in query.split("&"):
                 if part.startswith("format="):
                     fmt = part.split("=", 1)[1]
-            if path == "/segment":
+            if path == one_path:
                 self._segment_one(fmt)
-            elif path == "/segment_stream":
+            elif path == stream_path:
                 self._segment_stream(fmt)
             else:
                 self._drain_body()
@@ -351,9 +414,9 @@ def make_handler(server: InferenceServer, model_info: dict):
                 # read as empty and its unread bytes would be parsed as the
                 # next keep-alive request line. Require a length up front.
                 self.close_connection = True
-                self._send(411, b"length required: /segment needs "
-                                b"Content-Length (chunked upload unsupported)",
-                           "text/plain")
+                self._send(411, f"length required: {one_path} needs "
+                                f"Content-Length (chunked upload unsupported)"
+                           .encode(), "text/plain")
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -371,7 +434,7 @@ def make_handler(server: InferenceServer, model_info: dict):
                 # body fully read above: the connection stays reusable
                 self._send(400, f"bad request: {e}".encode(), "text/plain")
                 return
-            body, ctype = encode_result(pred, fmt, palette)
+            body, ctype = encode_fn(pred, fmt)
             self._send(200, body, ctype)
 
         def _segment_stream(self, fmt):
@@ -397,7 +460,7 @@ def make_handler(server: InferenceServer, model_info: dict):
                     result = item.get()
                     if isinstance(result, Exception):
                         return 2, str(result).encode()
-                    return 0, encode_result(result, fmt, palette)[0]
+                    return 0, encode_fn(result, fmt)[0]
                 return item
 
             if "Content-Length" not in self.headers:
@@ -405,9 +468,9 @@ def make_handler(server: InferenceServer, model_info: dict):
                 # stream: 200 with zero results and the unread body corrupting
                 # the next keep-alive request. Require a length up front.
                 self.close_connection = True
-                self._send(411, b"length required: /segment_stream needs "
-                                b"Content-Length (chunked upload unsupported)",
-                           "text/plain")
+                self._send(411, f"length required: {stream_path} needs "
+                                f"Content-Length (chunked upload unsupported)"
+                           .encode(), "text/plain")
                 return
             remaining = int(self.headers.get("Content-Length", 0))
             done = []     # finalized (status, payload), in request order
@@ -464,11 +527,24 @@ def make_handler(server: InferenceServer, model_info: dict):
 
 def serve_parse():
     from .options import HostConfigParser, _add_roots, str2bool
-    parser = HostConfigParser(description="segmentation inference server")
+    parser = HostConfigParser(description="segmentation/translation "
+                                          "inference server")
+    parser.add_argument("--kind", type=str, default="seg",
+                        choices=["seg", "translator"],
+                        help="'seg': POST /segment[_stream] class maps; "
+                             "'translator': POST /translate[_stream] GAN-"
+                             "translated images (online cli/translator.py)")
     parser.add_argument("-checkpoint_name", type=str,
                         default="256_freiburg_segmentation.pth")
     parser.add_argument("-net_mode", type=str, default="one_channel")
     parser.add_argument("-num_classes", type=int, default=13)
+    parser.add_argument("-generator_type", type=str, default="s2t",
+                        choices=["s2t", "t2s"])
+    parser.add_argument("-input_nc", type=int, default=3)
+    parser.add_argument("-output_nc", type=int, default=1)
+    parser.add_argument("-normalize", type=float, nargs="+",
+                        default=[0.5, 0.5, 0.5])
+    parser.add_argument("-denormalize", type=float, nargs="+", default=[0.5])
     parser.add_argument("-batch_size", type=int, default=8)
     parser.add_argument("--max_wait_ms", type=float, default=10.0,
                         help="micro-batching latency budget after the first "
@@ -482,24 +558,52 @@ def serve_parse():
 def main(argv=None):
     import os
 
-    from ._common import apply_model_meta, build_deeplab, load_seg_checkpoint
-
     args = serve_parse().parse_args(argv)
-    variables, meta = load_seg_checkpoint(
-        os.path.join(args.model_root_path, args.checkpoint_name))
-    apply_model_meta(args, meta)
-    model, _ = build_deeplab(args, abstract=True)  # --bf16 sets compute dtype
-    server = InferenceServer(model, variables, batch_size=args.batch_size,
-                             max_wait_ms=args.max_wait_ms,
-                             wire_bf16=bool(getattr(args, "bf16", False)),
-                             channels=1 if args.net_mode == "one_channel" else 3)
+    handler_kw = {}
+    if args.kind == "seg":
+        from ._common import (apply_model_meta, build_deeplab,
+                              load_seg_checkpoint)
+
+        variables, meta = load_seg_checkpoint(
+            os.path.join(args.model_root_path, args.checkpoint_name))
+        apply_model_meta(args, meta)
+        model, _ = build_deeplab(args, abstract=True)  # --bf16: compute dtype
+        server = InferenceServer(
+            model, variables, batch_size=args.batch_size,
+            max_wait_ms=args.max_wait_ms,
+            wire_bf16=bool(getattr(args, "bf16", False)),
+            channels=1 if args.net_mode == "one_channel" else 3)
+    else:
+        import jax.numpy as jnp
+
+        from ..core.checkpoint import load_checkpoint
+        from ..models.factory import unet_256
+
+        ckpt = load_checkpoint(os.path.join(args.gan_model_root_path,
+                                            args.checkpoint_name))
+        variables = ckpt["g_vars"][args.generator_type]
+        ngf = int(variables["params"]["down0"]["kernel"].shape[-1])
+        dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+        model = unet_256(ngf=ngf, input_nc=args.input_nc,
+                         output_nc=args.output_nc, dtype=dtype)
+        pre, predict, encode = make_translation_fns(
+            model, channels=args.input_nc, normalize=args.normalize,
+            denormalize=args.denormalize)
+        server = InferenceServer(
+            model, variables, batch_size=args.batch_size,
+            max_wait_ms=args.max_wait_ms,
+            wire_bf16=bool(getattr(args, "bf16", False)),
+            channels=args.input_nc, predict_fn=predict, preprocess_fn=pre)
+        handler_kw = dict(encode=encode,
+                          endpoints=("/translate", "/translate_stream"))
     print("compiling...", flush=True)
     server.warmup()
     server.start()
     info = {"checkpoint": args.checkpoint_name, "batch_size": args.batch_size,
+            "kind": args.kind,
             "bf16": bool(getattr(args, "bf16", False))}
     httpd = ThreadingHTTPServer((args.host, args.port),
-                                make_handler(server, info))
+                                make_handler(server, info, **handler_kw))
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch {args.batch_size}, wait {args.max_wait_ms} ms)", flush=True)
     try:
