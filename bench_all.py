@@ -821,6 +821,11 @@ def bench_pipeline_gate():
     # chip-hours; quality asserts and the PIPELINE_GATE.json artifact are
     # disabled (a smoke run must never overwrite the real gate evidence)
     smoke = "--smoke" in sys.argv
+    if smoke and workdir:
+        # a smoke run writes tiny trees and .done markers at smoke epoch
+        # counts — sharing a real gate workdir would make a later REAL run
+        # silently reuse them; keep smoke state in its own directory
+        workdir = workdir.rstrip("/") + "_smoke"
     n_train = 16 if smoke else 512
     gan_epochs, seg_epochs, st_epochs = (("1", "2", "1") if smoke
                                          else ("20", "60", "4"))

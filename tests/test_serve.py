@@ -457,8 +457,59 @@ def test_translation_stream_endpoint(translation_server):
             f"http://127.0.0.1:{port}/translate_stream", frames,
             timeout=300))
         assert [s for s, _ in results] == [0, 0, 0]
-        for _, payload in results:
+        for frame, (_, payload) in zip(frames, results):
             img = Image.open(io.BytesIO(payload))
             assert img.mode == "L" and img.size == (512, 256)
+            # pixel parity with the single-image endpoint semantics: the
+            # stream MUST use the translator preprocess ((x-m)/m), not the
+            # seg [0,1] scaling (a real regression this test now pins)
+            x = pre(frame)[None]
+            ref = np.asarray(model.apply(variables, x, train=False,
+                                         mutable=False))
+            ref = np.clip((ref * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+            np.testing.assert_array_equal(np.asarray(img), ref[0, ..., 0])
     finally:
         httpd.shutdown()
+
+
+def test_unsupported_format_is_400(server):
+    """format=bogus must be refused up front — not silently answered with a
+    differently-typed payload."""
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(server, {"checkpoint": "f"}))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    u16 = (np.random.default_rng(4).integers(21000, 26000, (40, 120))
+           .astype(np.uint16))
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/segment?format=bogus",
+            data=_png_bytes(u16), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req, timeout=60)
+        assert err.value.code == 400
+        assert b"unsupported format" in err.value.read()
+    finally:
+        httpd.shutdown()
+
+
+def test_translation_16bit_ir_uses_radiometric_window(translation_server):
+    """A 16-bit thermal frame to a 1-channel translator preprocess must go
+    through the Freiburg radiometric window, not a saturating convert()."""
+    from thermal_semantic_segmentation_tpu.cli.serve import (
+        make_translation_fns)
+    from thermal_semantic_segmentation_tpu.models.factory import (
+        init_gan_net, unet_256)
+
+    model1 = unet_256(ngf=4, input_nc=1, output_nc=3)
+    pre1, _, _ = make_translation_fns(model1, channels=1,
+                                      normalize=[0.5], denormalize=[0.5])
+    u16 = (np.random.default_rng(5).integers(21000, 26000, (40, 120))
+           .astype(np.uint16))
+    arr = pre1(_png_bytes(u16))
+    assert arr.shape == (256, 512, 1)
+    # windowed values land in ~(-1, 1) (BICUBIC overshoot allowed) with real
+    # spread; a saturating convert('L') would collapse everything to the
+    # constant (255-ish - m)/m near +1 with ~zero variance
+    assert -1.1 <= arr.min() and arr.max() <= 1.1
+    assert arr.std() > 0.05

@@ -115,6 +115,31 @@ def build_deeplab(args, *, get_feat: bool = True, head: str = "module2",
                           layers=getattr(args, "layers", (3, 4, 23, 3)))
 
 
+def build_generator_from_gan_checkpoint(path: str, generator_type: str, *,
+                                        input_nc: int, output_nc: int,
+                                        bf16: bool = False):
+    """Load ``g_vars[generator_type]`` from a GAN checkpoint and build the
+    matching UNet-256. The checkpoint is authoritative for the generator
+    width: flax apply validates param shapes against the module config, so a
+    non-default ``-ngf`` training run would otherwise be unusable (the
+    reference hardcodes 64, translator.py:38).
+
+    Returns (model, variables, ngf). Shared by the offline translator, the
+    translation serving kind, and the StableHLO export.
+    """
+    import jax.numpy as jnp
+
+    from ..models.factory import unet_256
+
+    ckpt = load_checkpoint(path)
+    variables = ckpt["g_vars"][generator_type]
+    ngf = int(variables["params"]["down0"]["kernel"].shape[-1])
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    model = unet_256(ngf=ngf, input_nc=input_nc, output_nc=output_nc,
+                     dtype=dtype)
+    return model, variables, ngf
+
+
 def load_seg_checkpoint(path: str):
     """Load a seg checkpoint: native msgpack or a reference torch .pth.
 

@@ -81,19 +81,12 @@ def main(argv=None):
                  "num_classes": int(args.num_classes), "channels": channels}
         stem = args.output
     else:
-        from ..core.checkpoint import load_checkpoint
-        from ..models.factory import unet_256
+        from ._common import build_generator_from_gan_checkpoint
 
-        ckpt = load_checkpoint(os.path.join(args.gan_model_root_path,
-                                            args.checkpoint_name))
-        variables = ckpt["g_vars"][args.generator_type]
-        # the checkpoint is authoritative for the generator width
-        # (cli/translator.py: a non-default -ngf run must stay exportable)
-        ngf = int(variables["params"]["down0"]["kernel"].shape[-1])
-        import jax.numpy as jnp
-        dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
-        model = unet_256(ngf=ngf, input_nc=args.input_nc,
-                         output_nc=args.output_nc, dtype=dtype)
+        model, variables, ngf = build_generator_from_gan_checkpoint(
+            os.path.join(args.gan_model_root_path, args.checkpoint_name),
+            args.generator_type, input_nc=args.input_nc,
+            output_nc=args.output_nc, bf16=bool(getattr(args, "bf16", False)))
         channels = args.input_nc
         exported = export_generator_forward(
             model, variables, channels=channels, batch=batch,
@@ -112,26 +105,15 @@ def main(argv=None):
     print(json.dumps({"artifact": out, **sidecar}))
 
     if args.check:
-        if args.kind == "seg":
-            diff = _self_check(exported, channels, (256, 512), batch,
-                               model, variables, args.output)
-            kind = ("near-tie argmax flips" if args.output == "ids"
-                    else "max abs logit diff")
-        else:
-            import numpy as np
-            from jax import export as jexport
-            back = jexport.deserialize(exported.serialize())
-            x = np.random.default_rng(0).uniform(
-                -1, 1, size=(batch or 3, 256, 512, channels)
-            ).astype(np.float32)
-            ref = np.asarray(model.apply(variables, x, train=False,
-                                         mutable=False), dtype=np.float32)
-            diff = float(np.max(np.abs(np.asarray(back.call(x)) - ref)))
-            # bf16 compute re-folds with ~2^-8 relative precision on the
-            # tanh range; f32 exports must agree far tighter
-            tol = 1e-2 if getattr(args, "bf16", False) else 1e-4
-            assert diff < tol, f"generator export diverges: {diff}"
-            kind = "max abs image diff"
+        output = args.output if args.kind == "seg" else "image"
+        # bf16 compute re-folds with ~2^-8 relative precision on the tanh
+        # range; f32 exports must agree far tighter
+        tol = 1e-2 if getattr(args, "bf16", False) else 1e-4
+        diff = _self_check(exported, channels, (256, 512), batch,
+                           model, variables, output, tol=tol)
+        kind = {"ids": "near-tie argmax flips",
+                "logits": "max abs logit diff",
+                "image": "max abs image diff"}[output]
         print(f"self-check passed ({kind}: {diff:.3e})")
 
 

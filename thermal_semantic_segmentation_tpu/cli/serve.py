@@ -276,12 +276,24 @@ def make_translation_fns(model, *, channels: int, normalize, denormalize,
     def preprocess_fn(image_bytes: bytes) -> np.ndarray:
         from PIL import Image
 
-        img = Image.open(io.BytesIO(image_bytes)).convert(
-            "RGB" if channels == 3 else "L")
-        arr = np.asarray(img.resize((hw[1], hw[0]), Image.BICUBIC),
-                         dtype=np.float32) / 255.0
-        if arr.ndim == 2:
-            arr = arr[..., None]
+        from ..data.freiburg import load_ir_image
+
+        img = Image.open(io.BytesIO(image_bytes))
+        if np.asarray(img).dtype == np.uint16:
+            # 16-bit thermal input (t2s direction): the full Freiburg IR
+            # radiometric window, exactly like the seg kind's preprocess —
+            # a plain .convert('L') would saturate everything to white
+            if channels != 1:
+                raise ValueError("16-bit IR input is 1-channel")
+            windowed = load_ir_image(io.BytesIO(image_bytes))
+            arr = np.asarray(windowed.resize((hw[1], hw[0]), Image.BICUBIC),
+                             dtype=np.float32)[..., None]
+        else:
+            img = img.convert("RGB" if channels == 3 else "L")
+            arr = np.asarray(img.resize((hw[1], hw[0]), Image.BICUBIC),
+                             dtype=np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[..., None]
         if arr.shape[-1] != channels:
             raise ValueError(f"expected {channels}-channel input, got "
                              f"{arr.shape[-1]}")
@@ -337,12 +349,14 @@ def stream_segment(url: str, images, timeout: float = 300.0):
 
 
 def make_handler(server: InferenceServer, model_info: dict, *,
-                 encode=None, endpoints=("/segment", "/segment_stream")):
+                 encode=None, endpoints=("/segment", "/segment_stream"),
+                 formats=("palette", "ids", "json")):
     from ..data.palette import freiburg_palette
 
     palette = freiburg_palette()
     encode_fn = encode or (lambda pred, fmt: encode_result(pred, fmt, palette))
     one_path, stream_path = endpoints
+    allowed_formats = frozenset(formats)
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 enables chunked responses for /segment_stream (and
@@ -400,7 +414,15 @@ def make_handler(server: InferenceServer, model_info: dict, *,
             for part in query.split("&"):
                 if part.startswith("format="):
                     fmt = part.split("=", 1)[1]
-            if path == one_path:
+            if path in (one_path, stream_path) and fmt not in allowed_formats:
+                # an unsupported format must not come back as a silently
+                # different payload (e.g. PNG bytes to a json-expecting
+                # client) — refuse before any inference runs
+                self._drain_body()
+                self._send(400, f"unsupported format {fmt!r}; one of "
+                                f"{sorted(allowed_formats)}".encode(),
+                           "text/plain")
+            elif path == one_path:
                 self._segment_one(fmt)
             elif path == stream_path:
                 self._segment_stream(fmt)
@@ -487,8 +509,9 @@ def make_handler(server: InferenceServer, model_info: dict, *,
                     data = _read_exact(self.rfile, length)
                     remaining -= length
                     try:
-                        arr = preprocess(data, server.label_hw,
-                                         server.channels)
+                        # the server's OWN preprocess: the translator kind
+                        # normalizes to (x-m)/m, not the seg [0,1] scaling
+                        arr = server._preprocess(data)
                     except Exception as e:  # bad frame: report in-band
                         pending.append((1, f"bad frame: {e}".encode()))
                         continue
@@ -574,18 +597,12 @@ def main(argv=None):
             wire_bf16=bool(getattr(args, "bf16", False)),
             channels=1 if args.net_mode == "one_channel" else 3)
     else:
-        import jax.numpy as jnp
+        from ._common import build_generator_from_gan_checkpoint
 
-        from ..core.checkpoint import load_checkpoint
-        from ..models.factory import unet_256
-
-        ckpt = load_checkpoint(os.path.join(args.gan_model_root_path,
-                                            args.checkpoint_name))
-        variables = ckpt["g_vars"][args.generator_type]
-        ngf = int(variables["params"]["down0"]["kernel"].shape[-1])
-        dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
-        model = unet_256(ngf=ngf, input_nc=args.input_nc,
-                         output_nc=args.output_nc, dtype=dtype)
+        model, variables, _ = build_generator_from_gan_checkpoint(
+            os.path.join(args.gan_model_root_path, args.checkpoint_name),
+            args.generator_type, input_nc=args.input_nc,
+            output_nc=args.output_nc, bf16=bool(getattr(args, "bf16", False)))
         pre, predict, encode = make_translation_fns(
             model, channels=args.input_nc, normalize=args.normalize,
             denormalize=args.denormalize)
@@ -595,7 +612,8 @@ def main(argv=None):
             wire_bf16=bool(getattr(args, "bf16", False)),
             channels=args.input_nc, predict_fn=predict, preprocess_fn=pre)
         handler_kw = dict(encode=encode,
-                          endpoints=("/translate", "/translate_stream"))
+                          endpoints=("/translate", "/translate_stream"),
+                          formats=("palette", "png"))  # both mean PNG here
     print("compiling...", flush=True)
     server.warmup()
     server.start()

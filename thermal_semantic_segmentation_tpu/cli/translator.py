@@ -18,12 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from ..core.checkpoint import load_checkpoint
 from ..data import transforms as T
 from ..data.cityscapes import Cityscapes
 from ..data.freiburg import Freiburg
 from ..data.loader import DataLoader
-from ..models.factory import unet_256
 from ..ops.batching import pad_rows
 from .options import translation_parse
 
@@ -45,19 +43,12 @@ def translate(args):
 
     loader = DataLoader(dataset, args.batch_size, shuffle=False, drop_last=False)
 
-    import jax.numpy as jnp
-    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
-    ckpt = load_checkpoint(os.path.join(args.gan_model_root_path,
-                                        args.checkpoint_name))
-    key = "s2t" if args.generator_type == "s2t" else "t2s"
-    variables = ckpt["g_vars"][key]
-    # the checkpoint is authoritative for the generator width: flax apply
-    # validates param shapes against the module config, so a non-default
-    # -ngf training run would otherwise be untranslatable (the reference
-    # hardcodes 64, translator.py:38)
-    ngf = int(variables["params"]["down0"]["kernel"].shape[-1])
-    model = unet_256(ngf=ngf, input_nc=args.input_nc,
-                     output_nc=args.output_nc, dtype=dtype)
+    from ._common import build_generator_from_gan_checkpoint
+    model, variables, _ = build_generator_from_gan_checkpoint(
+        os.path.join(args.gan_model_root_path, args.checkpoint_name),
+        "s2t" if args.generator_type == "s2t" else "t2s",
+        input_nc=args.input_nc, output_nc=args.output_nc,
+        bf16=bool(getattr(args, "bf16", False)))
 
     @jax.jit
     def run(variables, image):

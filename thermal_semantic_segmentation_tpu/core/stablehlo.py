@@ -125,11 +125,12 @@ def exported_sidecar(path: str) -> dict:
 
 
 def _self_check(exported, channels: int, label_hw, batch: Optional[int],
-                model, variables, output: str) -> float:
+                model, variables, output: str, tol: float = 1e-4) -> float:
     """Round-trip the serialized artifact and compare against the direct
-    forward on random pixels. Returns the argmax-mismatch fraction (ids;
-    raises unless every mismatch is a logit near-tie) or the max abs logit
-    difference (logits)."""
+    forward on random pixels. Returns the argmax-mismatch fraction ('ids';
+    raises unless every mismatch is a logit near-tie), the max abs logit
+    difference ('logits'), or the max abs pixel difference ('image' —
+    generator artifacts; raises beyond ``tol``)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -139,9 +140,18 @@ def _self_check(exported, channels: int, label_hw, batch: Optional[int],
 
     back = jexport.deserialize(exported.serialize())
     n = batch or 3  # any size exercises a symbolic batch
+    lo = -1 if output == "image" else 0  # generators eat normalized pixels
     x = np.random.default_rng(0).uniform(
-        0, 1, size=(n, *label_hw, channels)).astype(np.float32)
+        lo, 1, size=(n, *label_hw, channels)).astype(np.float32)
     got = np.asarray(back.call(x))
+    if output == "image":
+        ref = np.asarray(model.apply(variables, jnp.asarray(x), train=False,
+                                     mutable=False), dtype=np.float32)
+        diff = float(np.max(np.abs(got - ref)))
+        if diff > tol:
+            raise AssertionError(f"exported generator diverges from the "
+                                 f"direct forward: max abs diff {diff:.3e}")
+        return diff
     out = model.apply(variables, jnp.asarray(x), train=False)
     logits = upsample_logits(out["out"], *label_hw)
     if output == "ids":
