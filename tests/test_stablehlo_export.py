@@ -138,3 +138,73 @@ def test_generator_export_cli(tmp_path):
     ref = np.asarray(model.apply(variables, jnp.asarray(x), train=False,
                                  mutable=False), dtype=np.float32)
     np.testing.assert_allclose(y, ref, atol=1e-4)
+
+
+def test_serve_from_artifact(tmp_path, tiny):
+    """--artifact: the server runs inference straight from the exported
+    blob (no checkpoint, no model construction) and matches the direct
+    forward."""
+    import argparse
+    import io
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from PIL import Image
+
+    from thermal_semantic_segmentation_tpu.cli.serve import (
+        _server_from_artifact, make_handler)
+
+    model, variables = tiny
+    exported = export_seg_forward(model, variables, label_hw=HW,
+                                  batch=None, platforms=("cpu",))
+    path = str(tmp_path / "m.stablehlo")
+    save_exported(exported, path, meta={"output_kind": "ids",
+                                        "channels": 1})
+
+    args = argparse.Namespace(artifact=path, batch_size=4, max_wait_ms=20,
+                              bf16=False, normalize=[0.5], denormalize=[0.5])
+    server, handler_kw = _server_from_artifact(args)
+    server.warmup()
+    server.start()
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(server, {"artifact": path},
+                                       **handler_kw))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    u16 = (np.random.default_rng(6).integers(21000, 26000, (40, 120))
+           .astype(np.uint16))
+    buf = io.BytesIO()
+    Image.fromarray(u16).save(buf, format="PNG")
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/segment?format=ids",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            ids = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert ids.shape == HW and ids.max() < 13
+
+        from thermal_semantic_segmentation_tpu.cli.serve import preprocess
+        x = preprocess(buf.getvalue(), HW, 1)[None]
+        np.testing.assert_array_equal(ids, _direct_ids(model, variables,
+                                                       x)[0])
+    finally:
+        httpd.shutdown()
+        server.stop()
+
+
+def test_serve_from_artifact_rejects_mismatched_fixed_batch(tmp_path, tiny):
+    import argparse
+
+    from thermal_semantic_segmentation_tpu.cli.serve import (
+        _server_from_artifact)
+
+    model, variables = tiny
+    exported = export_seg_forward(model, variables, label_hw=HW,
+                                  batch=2, platforms=("cpu",))
+    path = str(tmp_path / "b2.stablehlo")
+    save_exported(exported, path, meta={"output_kind": "ids"})
+    args = argparse.Namespace(artifact=path, batch_size=8, max_wait_ms=20,
+                              bf16=False, normalize=[0.5], denormalize=[0.5])
+    with pytest.raises(SystemExit, match="fixed batch"):
+        _server_from_artifact(args)

@@ -557,6 +557,11 @@ def serve_parse():
                         help="'seg': POST /segment[_stream] class maps; "
                              "'translator': POST /translate[_stream] GAN-"
                              "translated images (online cli/translator.py)")
+    parser.add_argument("--artifact", type=str, default="",
+                        help="serve a StableHLO artifact "
+                             "(cli/export_stablehlo.py) instead of a "
+                             "checkpoint: weights live in the blob, its "
+                             "sidecar selects the endpoint surface")
     parser.add_argument("-checkpoint_name", type=str,
                         default="256_freiburg_segmentation.pth")
     parser.add_argument("-net_mode", type=str, default="one_channel")
@@ -578,12 +583,68 @@ def serve_parse():
     return parser
 
 
+def _server_from_artifact(args):
+    """Serve a StableHLO artifact (cli/export_stablehlo.py) directly: no
+    model code or checkpoint needed — the weights live inside the blob.
+    The sidecar's ``output_kind`` selects the endpoint surface."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.stablehlo import exported_sidecar, load_exported
+
+    sidecar = exported_sidecar(args.artifact)
+    exported = load_exported(args.artifact)
+    spec = sidecar["input"][0]
+    batch_dim = spec["shape"][0]
+    if batch_dim != "b" and int(batch_dim) != args.batch_size:
+        raise SystemExit(
+            f"artifact has a fixed batch of {batch_dim}; pass "
+            f"-batch_size {batch_dim} or re-export with --batch dynamic")
+    hw = (int(spec["shape"][1]), int(spec["shape"][2]))
+    channels = int(spec["shape"][3])
+    call = exported.call
+    kind = sidecar.get("output_kind", "ids")
+    if kind == "ids":
+        predict = jax.jit(lambda variables, images: call(images))
+        server = InferenceServer(
+            None, {}, batch_size=args.batch_size,
+            max_wait_ms=args.max_wait_ms, label_hw=hw,
+            wire_bf16=bool(getattr(args, "bf16", False)), channels=channels,
+            predict_fn=predict)
+        return server, {}
+    if kind == "translation":
+        denorm = np.asarray(args.denormalize, np.float32)
+
+        @jax.jit
+        def predict(variables, images):
+            out = call(images)
+            return jnp.clip((out * denorm + denorm) * 255.0, 0, 255
+                            ).astype(jnp.uint8)
+
+        # only pre/encode are used from here (predict comes from the blob)
+        pre, _, encode = make_translation_fns(
+            None, channels=channels, normalize=args.normalize,
+            denormalize=args.denormalize, hw=hw)
+        server = InferenceServer(
+            None, {}, batch_size=args.batch_size,
+            max_wait_ms=args.max_wait_ms, label_hw=hw,
+            wire_bf16=bool(getattr(args, "bf16", False)), channels=channels,
+            predict_fn=predict, preprocess_fn=pre)
+        return server, dict(encode=encode,
+                            endpoints=("/translate", "/translate_stream"),
+                            formats=("palette", "png"))
+    raise SystemExit(f"artifact output_kind {kind!r} is not servable "
+                     f"(logits artifacts are for downstream soft use)")
+
+
 def main(argv=None):
     import os
 
     args = serve_parse().parse_args(argv)
     handler_kw = {}
-    if args.kind == "seg":
+    if getattr(args, "artifact", ""):
+        server, handler_kw = _server_from_artifact(args)
+    elif args.kind == "seg":
         from ._common import (apply_model_meta, build_deeplab,
                               load_seg_checkpoint)
 
@@ -618,7 +679,7 @@ def main(argv=None):
     server.warmup()
     server.start()
     info = {"checkpoint": args.checkpoint_name, "batch_size": args.batch_size,
-            "kind": args.kind,
+            "kind": args.kind, "artifact": getattr(args, "artifact", ""),
             "bf16": bool(getattr(args, "bf16", False))}
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(server, info, **handler_kw))
