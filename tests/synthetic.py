@@ -246,6 +246,36 @@ _GAN_PALETTE = np.array([[200, 40, 40], [40, 200, 40], [40, 80, 220],
                          [220, 200, 40], [160, 40, 200]], np.float32)
 
 
+def _gan_band_frame(rng, hw, n_bands, alphas):
+    """(label, bands) for one GAN-gate frame: the dirichlet band layout is
+    drawn over the COLUMN-CROP-VISIBLE window and the outermost bands are
+    edge-extended into the cropped margins.
+
+    Every Freiburg data path resizes to (960, 320) then crops columns
+    150:850 (data/freiburg.py COL_CROP, reference freiburg_dataset.py:72-92),
+    so a fixed-order band layout drawn over the FULL width leaves class 0
+    (expected width ~10% of 960 = 96 px < the 150-col left margin) entirely
+    outside the visible window and class 1 mostly cropped. Measured through
+    the full pipeline gate: class 0 IoU nan on the test split, class 1
+    starved to IoU 0.0, capping nanmean(iu[:11]) at ~0.68. Drawing the
+    bands over the visible 700 columns restores the intended width law for
+    every class after the crop; the margin extensions are constant fills
+    that the crop removes identically from image, IR, and label."""
+    h, w = hw
+    c0 = int(round(w * 150 / 960))
+    c1 = int(round(w * 850 / 960))
+    label_v, bands_v = _banded_class_map(rng, (h, c1 - c0),
+                                         n_classes=n_bands, n_bands=n_bands,
+                                         classes=np.arange(n_bands),
+                                         alphas=alphas)
+
+    def extend(a):
+        return np.hstack([np.repeat(a[:, :1], c0, axis=1), a,
+                          np.repeat(a[:, -1:], w - c1, axis=1)])
+
+    return extend(label_v), extend(bands_v)
+
+
 def make_gan_freiburg_tree(root: str, n_train: int = 512, n_test: int = 0,
                            seed: int = 0, hw=(320, 960), n_bands: int = 5,
                            noise_slots: float = 0.15,
@@ -258,10 +288,12 @@ def make_gan_freiburg_tree(root: str, n_train: int = 512, n_test: int = 0,
     (only the edge positions vary): rgb renders band k as palette color k,
     ir renders it as intensity slot k of the radiometric window, and band
     k's expected WIDTH grows with k (dirichlet alphas 4+2k, a 3x spread;
-    the narrowest class still averages ~10% of the frame — a first
-    5x-spread law pinned the mapping, L1 ratio 0.334, but starved the two
-    narrowest classes of supervision and they scored IoU 0/nan through the
-    downstream segmentation pipeline).
+    the narrowest class still averages ~10% of the crop-visible window — a
+    first 5x-spread law pinned the mapping, L1 ratio 0.334, but starved the
+    two narrowest classes of supervision and they scored IoU 0/nan through
+    the downstream segmentation pipeline). Bands are laid out over the
+    column-crop-visible window (see _gan_band_frame) so the reference's
+    150:850 crop cannot starve the narrow classes a second way.
 
     The width law is what breaks the intensity-permutation symmetry that
     unpaired losses cannot otherwise see. Monotone band ORDER alone is NOT
@@ -280,10 +312,8 @@ def make_gan_freiburg_tree(root: str, n_train: int = 512, n_test: int = 0,
     base = os.path.join(root, "train", "seq_00_day", "00")
     span = (25000.0 - 21800.0) / n_bands
     for i in range(n_train):
-        label, bands = _banded_class_map(rng, hw, n_classes=n_bands,
-                                         n_bands=n_bands,
-                                         classes=np.arange(n_bands),
-                                         alphas=4.0 + 2.0 * np.arange(n_bands))
+        label, bands = _gan_band_frame(rng, hw, n_bands,
+                                       4.0 + 2.0 * np.arange(n_bands))
         raw = (21800.0 + (bands.astype(np.float32) + 0.5) * span
                + rng.normal(0, noise_slots * span, hw).astype(np.float32))
         ir = np.clip(raw, 21800, 25000).astype(np.uint16)
@@ -302,10 +332,8 @@ def make_gan_freiburg_tree(root: str, n_train: int = 512, n_test: int = 0,
     # the never-labeled classes drop out (unless the model strays).
     rng_t = np.random.default_rng(seed + 1)
     for i in range(n_test):
-        label, bands = _banded_class_map(rng_t, hw, n_classes=n_bands,
-                                         n_bands=n_bands,
-                                         classes=np.arange(n_bands),
-                                         alphas=4.0 + 2.0 * np.arange(n_bands))
+        label, bands = _gan_band_frame(rng_t, hw, n_bands,
+                                       4.0 + 2.0 * np.arange(n_bands))
         raw = (21800.0 + (bands.astype(np.float32) + 0.5) * span
                + rng_t.normal(0, noise_slots * span, hw).astype(np.float32))
         ir = np.clip(raw, 21800, 25000).astype(np.uint16)
