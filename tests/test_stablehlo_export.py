@@ -14,7 +14,8 @@ import numpy as np
 import pytest
 
 from thermal_semantic_segmentation_tpu.core.stablehlo import (
-    export_seg_forward, exported_sidecar, load_exported, save_exported)
+    dequantize_variables_np, export_seg_forward, exported_sidecar,
+    load_exported, quantize_variables, save_exported)
 from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
 from thermal_semantic_segmentation_tpu.ops.resize import upsample_logits
 
@@ -138,6 +139,85 @@ def test_generator_export_cli(tmp_path):
     ref = np.asarray(model.apply(variables, jnp.asarray(x), train=False,
                                  mutable=False), dtype=np.float32)
     np.testing.assert_allclose(y, ref, atol=1e-4)
+
+
+def test_quantize_variables_error_bounded_and_small_leaves_untouched(tiny):
+    """Symmetric per-output-channel int8: reconstruction error of every
+    quantized leaf is within half a quantization step of the original, and
+    sub-threshold leaves (BN/GN params, biases, small heads) pass through
+    bit-identical."""
+    _, variables = tiny
+    qtree, scales, stats = quantize_variables(variables)
+    assert stats["tensors"] > 0 and stats["params"] > stats["tensors"]
+    deq = dequantize_variables_np(qtree, scales)
+
+    flat_orig = jax.tree_util.tree_flatten_with_path(variables)[0]
+    flat_q = dict(jax.tree_util.tree_flatten_with_path(qtree)[0])
+    flat_deq = dict(jax.tree_util.tree_flatten_with_path(deq)[0])
+    quantized = 0
+    for path, orig in flat_orig:
+        key = jax.tree_util.keystr(path)
+        orig = np.asarray(orig)
+        if np.asarray(flat_q[path]).dtype == np.int8:
+            quantized += 1
+            # per-channel scale = max|w|/127 -> error <= scale/2 per channel
+            err = np.abs(np.asarray(flat_deq[path]) - orig)
+            bound = np.max(np.abs(orig), axis=tuple(range(orig.ndim - 1)),
+                           keepdims=True) / 254.0 + 1e-7
+            assert (err <= bound).all(), key
+        else:
+            np.testing.assert_array_equal(np.asarray(flat_deq[path]), orig)
+    assert quantized == stats["tensors"]
+
+
+def test_int8_export_matches_dequantized_model_and_shrinks_blob(tiny,
+                                                                tmp_path):
+    """The quantized artifact's contract: identical to the direct forward
+    with DEQUANTIZED weights (storage-only quantization), at a fraction of
+    the fp32 blob size."""
+    model, variables = tiny
+    full = export_seg_forward(model, variables, label_hw=HW, batch=2,
+                              platforms=("cpu",))
+    quant = export_seg_forward(model, variables, label_hw=HW, batch=2,
+                               quantize="int8", platforms=("cpu",))
+    p_full = str(tmp_path / "f.stablehlo")
+    p_q = str(tmp_path / "q.stablehlo")
+    n_full = save_exported(full, p_full)["bytes"]
+    sidecar = save_exported(quant, p_q)
+    n_q = sidecar["bytes"]
+    # container = tiny weights-as-args program + int8 payload: ~4x smaller
+    assert n_q < 0.4 * n_full, (n_q, n_full)
+    assert sidecar["container"] == "program+weights"
+    # the sidecar documents the IMAGE calling convention, not weight args
+    assert len(sidecar["input"]) == 1
+
+    qtree, scales, _ = quantize_variables(variables)
+    deq_vars = dequantize_variables_np(qtree, scales)
+    x = np.random.default_rng(4).uniform(0, 1, (2, *HW, 1)).astype(np.float32)
+    got = np.asarray(load_exported(p_q).call(x))
+    np.testing.assert_array_equal(got, _direct_ids(model, deq_vars, x))
+
+
+def test_cli_quantized_export(tmp_path, tiny):
+    from thermal_semantic_segmentation_tpu.cli import export_stablehlo
+    from thermal_semantic_segmentation_tpu.cli._common import (
+        save_seg_checkpoint)
+
+    model, variables = tiny
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    save_seg_checkpoint(str(ckpt_dir / "s.pth"), variables,
+                        layers=[1, 1, 1, 1], num_channels=1, num_classes=13)
+    out = str(tmp_path / "artifact_int8.stablehlo")
+    export_stablehlo.main([
+        "-checkpoint_name", "s.pth", "--model_root_path", str(ckpt_dir),
+        "--out", out, "--platforms", "cpu", "--batch", "2",
+        "--quantize", "int8",
+        "--check", "true"])  # checks vs the dequantized reference
+    sidecar = exported_sidecar(out)
+    assert sidecar["quantize"] == "int8"
+    assert sidecar["quantized_tensors"] > 0
+    assert sidecar["quantized_params"] > sidecar["float_params"]
 
 
 def test_serve_from_artifact(tmp_path, tiny):

@@ -46,6 +46,13 @@ def export_stablehlo_parse():
                              "'logits': float32 upsampled logits")
     parser.add_argument("--batch", type=str, default="dynamic",
                         help="'dynamic' (symbolic batch dim) or a fixed int")
+    parser.add_argument("--quantize", type=str, default="",
+                        choices=["", "int8"],
+                        help="weight-only storage quantization: conv/dense "
+                             "kernels become int8 + per-channel scales in "
+                             "the artifact (~4x smaller); compute stays "
+                             "float — the artifact dequantizes at the top "
+                             "of the graph (core/stablehlo.py)")
     parser.add_argument("--platforms", type=str, default="tpu,cpu",
                         help="comma-separated lowering targets")
     parser.add_argument("--check", type=str2bool, default=True,
@@ -58,12 +65,15 @@ def export_stablehlo_parse():
 
 def main(argv=None):
     from ..core.stablehlo import (_default_artifact_name, _self_check,
+                                  dequantize_variables_np,
                                   export_generator_forward,
-                                  export_seg_forward, save_exported)
+                                  export_seg_forward, quantize_variables,
+                                  save_exported)
 
     args = export_stablehlo_parse().parse_args(argv)
     batch = None if args.batch == "dynamic" else int(args.batch)
     platforms = [p.strip() for p in args.platforms.split(",") if p.strip()]
+    quantize = args.quantize or None
 
     if args.kind == "seg":
         from ._common import (apply_model_meta, build_deeplab,
@@ -76,10 +86,10 @@ def main(argv=None):
         channels = 1 if args.net_mode == "one_channel" else 3
         exported = export_seg_forward(
             model, variables, channels=channels, batch=batch,
-            output=args.output, platforms=platforms)
+            output=args.output, quantize=quantize, platforms=platforms)
         extra = {"output_kind": args.output,
                  "num_classes": int(args.num_classes), "channels": channels}
-        stem = args.output
+        stem = args.output + ("_int8" if quantize else "")
     else:
         from ._common import build_generator_from_gan_checkpoint
 
@@ -90,12 +100,19 @@ def main(argv=None):
         channels = args.input_nc
         exported = export_generator_forward(
             model, variables, channels=channels, batch=batch,
-            platforms=platforms)
+            quantize=quantize, platforms=platforms)
         extra = {"output_kind": "translation",
                  "generator_type": args.generator_type, "ngf": ngf,
                  "channels": channels, "output_nc": args.output_nc}
-        stem = f"g_{args.generator_type}"
+        stem = f"g_{args.generator_type}" + ("_int8" if quantize else "")
 
+    check_vars = variables
+    if quantize:
+        # the artifact's contract is the DEQUANTIZED model: self-check
+        # against it (quantization drift vs fp32 is the user's accuracy
+        # tradeoff, not an export defect)
+        qtree, scales, _ = quantize_variables(variables)
+        check_vars = dequantize_variables_np(qtree, scales)
     out = args.out or os.path.join(
         args.model_root_path if args.kind == "seg"
         else args.gan_model_root_path,
@@ -105,12 +122,17 @@ def main(argv=None):
     print(json.dumps({"artifact": out, **sidecar}))
 
     if args.check:
+        from ..core.stablehlo import load_exported
+
         output = args.output if args.kind == "seg" else "image"
         # bf16 compute re-folds with ~2^-8 relative precision on the tanh
         # range; f32 exports must agree far tighter
         tol = 1e-2 if getattr(args, "bf16", False) else 1e-4
-        diff = _self_check(exported, channels, (256, 512), batch,
-                           model, variables, output, tol=tol)
+        # quantized containers are checked from disk (the full container
+        # round trip, including payload dequantization)
+        to_check = load_exported(out) if quantize else exported
+        diff = _self_check(to_check, channels, (256, 512), batch,
+                           model, check_vars, output, tol=tol)
         kind = {"ids": "near-tie argmax flips",
                 "logits": "max abs logit diff",
                 "image": "max abs image diff"}[output]
