@@ -859,6 +859,10 @@ def bench_pipeline_gate():
                 "-num_epoch", gan_epochs, "-save_interval", "1000",
                 "-checkpoint_name", "g_gate.pth",
                 "-new_checkpoint_name", "g_gate.pth", "--bf16", "true",
+                # a 64-wide CycleGAN step takes tens of minutes PER STEP on
+                # one CPU core; the wiring rehearsal needs a narrow net
+                # (downstream stages rebuild from the checkpoint width)
+                *(["-ngf", "8"] if smoke else []),
                 "--freiburg_root", root, "--gan_model_root_path", ckpt_dir,
                 "--decode_cache_mb", "4096"])
         # translations are reusable ONLY if complete (one per source frame)

@@ -77,13 +77,14 @@ def gan_main(args):
 
     s_nc, t_nc = args.s2t_input_nc, args.t2s_input_nc
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    g_s2t = unet_256(ngf=64, input_nc=s_nc, output_nc=t_nc, dtype=dtype)
+    ngf = getattr(args, 'ngf', 64)
+    g_s2t = unet_256(ngf=ngf, input_nc=s_nc, output_nc=t_nc, dtype=dtype)
     d_t = patchgan(input_nc=t_nc, dtype=dtype)
     nets = {"g": {"s2t": g_s2t}, "d": {"t": d_t}}
     g_vars = {"s2t": init_gan_net(g_s2t, key, (1, 256, 512, s_nc))}
     d_vars = {"t": init_gan_net(d_t, key, (1, 256, 512, t_nc))}
     if args.cycle:
-        g_t2s = unet_256(ngf=64, input_nc=t_nc, output_nc=s_nc, dtype=dtype)
+        g_t2s = unet_256(ngf=ngf, input_nc=t_nc, output_nc=s_nc, dtype=dtype)
         d_s = patchgan(input_nc=s_nc, dtype=dtype)
         nets["g"]["t2s"], nets["d"]["s"] = g_t2s, d_s
         g_vars["t2s"] = init_gan_net(g_t2s, key, (1, 256, 512, t_nc))

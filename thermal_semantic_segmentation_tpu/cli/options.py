@@ -128,6 +128,15 @@ def train_parse():
                         help='pretrained 1-ch thermal legacy DeepLab weights '
                              'for the frozen thermal sem net (main.py:81).')
     parser.add_argument('-log_interval', type=int, default=10)
+    parser.add_argument('-ngf', type=int, default=64,
+                        help='UNet generator base width. The reference '
+                             'hardcodes 64 (main.py:76-79) — keep the '
+                             'default for recipe parity; small values make '
+                             'CPU wiring smokes tractable (a 64-wide '
+                             'CycleGAN step takes tens of minutes per step '
+                             'on one CPU core). Downstream consumers '
+                             '(translator, serve, exports) rebuild the net '
+                             'from the checkpoint width automatically.')
     parser.add_argument('-max_steps', type=int, default=0,
                         help='debug: cap steps per epoch (0 = unlimited).')
     parser.add_argument('-save_interval', type=int, default=1,
