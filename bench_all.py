@@ -318,11 +318,31 @@ def bench_stablehlo():
     r_direct = rate(lambda x: direct(variables, x))
     call = jax.jit(back.call)
     r_artifact = rate(call)
+
+    # int8 weight-only container (core/stablehlo.py): same program semantics,
+    # ~4x smaller blob; dequantized once at load, so the serving rate must
+    # hold too
+    import os
+    import tempfile
+
+    from thermal_semantic_segmentation_tpu.core.stablehlo import (
+        load_exported, save_exported)
+
+    quant = export_seg_forward(model, variables, batch=B, quantize="int8",
+                               platforms=(platform,))
+    with tempfile.TemporaryDirectory() as tmp:
+        qpath = os.path.join(tmp, "q.stablehlo")
+        save_exported(quant, qpath)
+        q_mb = os.path.getsize(qpath) / 2**20
+        qcall = jax.jit(load_exported(qpath).call)
+        r_quant = rate(qcall)
     return {"metric": "stablehlo_artifact_images_per_sec",
             "value": round(r_artifact, 2), "unit": "images/s",
             "direct_forward": round(r_direct, 2),
             "ratio_vs_direct": round(r_artifact / r_direct, 3),
-            "artifact_mb": round(len(blob) / 2**20, 1), "batch": B,
+            "artifact_mb": round(len(blob) / 2**20, 1),
+            "int8_images_per_sec": round(r_quant, 2),
+            "int8_artifact_mb": round(q_mb, 1), "batch": B,
             "platform": platform}
 
 
