@@ -220,6 +220,33 @@ def test_cli_quantized_export(tmp_path, tiny):
     assert sidecar["quantized_params"] > sidecar["float_params"]
 
 
+def test_generator_int8_container_matches_dequantized_forward(tmp_path):
+    """Quantized translator artifact: the generator path through the same
+    container format — parity against the dequantized direct forward."""
+    from thermal_semantic_segmentation_tpu.core.stablehlo import (
+        export_generator_forward)
+    from thermal_semantic_segmentation_tpu.models.factory import (
+        init_gan_net, unet_256)
+
+    model = unet_256(ngf=4, input_nc=3, output_nc=1)
+    variables = init_gan_net(model, jax.random.key(2), (1, 256, 512, 3))
+    quant = export_generator_forward(model, variables, hw=(256, 512),
+                                     channels=3, batch=2, quantize="int8",
+                                     platforms=("cpu",))
+    path = str(tmp_path / "g_q.stablehlo")
+    sidecar = save_exported(quant, path)
+    assert sidecar["container"] == "program+weights"
+
+    qtree, scales, _ = quantize_variables(variables)
+    deq_vars = dequantize_variables_np(qtree, scales)
+    x = np.random.default_rng(5).uniform(-1, 1, (2, 256, 512, 3)
+                                         ).astype(np.float32)
+    got = np.asarray(load_exported(path).call(x))
+    ref = np.asarray(model.apply(deq_vars, jnp.asarray(x), train=False,
+                                 mutable=False), dtype=np.float32)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_serve_from_artifact(tmp_path, tiny):
     """--artifact: the server runs inference straight from the exported
     blob (no checkpoint, no model construction) and matches the direct
