@@ -106,13 +106,6 @@ def main(argv=None):
                  "channels": channels, "output_nc": args.output_nc}
         stem = f"g_{args.generator_type}" + ("_int8" if quantize else "")
 
-    check_vars = variables
-    if quantize:
-        # the artifact's contract is the DEQUANTIZED model: self-check
-        # against it (quantization drift vs fp32 is the user's accuracy
-        # tradeoff, not an export defect)
-        qtree, scales, _ = quantize_variables(variables)
-        check_vars = dequantize_variables_np(qtree, scales)
     out = args.out or os.path.join(
         args.model_root_path if args.kind == "seg"
         else args.gan_model_root_path,
@@ -128,9 +121,15 @@ def main(argv=None):
         # bf16 compute re-folds with ~2^-8 relative precision on the tanh
         # range; f32 exports must agree far tighter
         tol = 1e-2 if getattr(args, "bf16", False) else 1e-4
-        # quantized containers are checked from disk (the full container
-        # round trip, including payload dequantization)
-        to_check = load_exported(out) if quantize else exported
+        check_vars = variables
+        to_check = exported
+        if quantize:
+            # the artifact's contract is the DEQUANTIZED model: check the
+            # on-disk container round trip against it (quantization drift
+            # vs fp32 is the user's accuracy tradeoff, not an export defect)
+            qtree, scales, _ = quantize_variables(variables)
+            check_vars = dequantize_variables_np(qtree, scales)
+            to_check = load_exported(out)
         diff = _self_check(to_check, channels, (256, 512), batch,
                            model, check_vars, output, tol=tol)
         kind = {"ids": "near-tie argmax flips",

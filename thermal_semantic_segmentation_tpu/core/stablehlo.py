@@ -164,8 +164,10 @@ class _BoundExported:
         if self._device_leaves is None:
             import jax
 
-            # one transfer, then device-resident across calls
+            # one transfer, then device-resident across calls; drop the
+            # host copy (~120 MB of f32 for a DeepLab) once transferred
             self._device_leaves = jax.device_put(self._leaves)
+            self._leaves = None
         return self._exported.call(images, self._device_leaves)
 
 
@@ -304,12 +306,20 @@ def load_exported(path: str):
 
     Raw blobs return the ``jax.export.Exported``; quantized containers
     return a bound wrapper with the same ``.call(images)`` surface (weights
-    dequantized once on the host, device-put on first call)."""
+    dequantized once on the host, device-put on first call). The sidecar's
+    ``container`` field is the authoritative format marker; zip sniffing is
+    the fallback for artifacts whose sidecar is missing."""
     import zipfile
 
     from jax import export as jexport
 
-    if zipfile.is_zipfile(path):
+    container = None
+    try:
+        container = exported_sidecar(path).get("container")
+    except (OSError, ValueError):
+        pass
+    if (container == "program+weights"
+            or (container is None and zipfile.is_zipfile(path))):
         import io
 
         import numpy as np
