@@ -300,6 +300,74 @@ def test_serve_from_artifact(tmp_path, tiny):
         server.stop()
 
 
+def test_serve_translation_from_int8_artifact(tmp_path):
+    """A quantized translator container served over /translate: the full
+    consumer chain (container load -> micro-batcher -> denorm/encode) must
+    reproduce the dequantized direct forward."""
+    import argparse
+    import io
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from PIL import Image
+
+    from thermal_semantic_segmentation_tpu.cli.serve import (
+        _server_from_artifact, make_handler)
+    from thermal_semantic_segmentation_tpu.core.stablehlo import (
+        export_generator_forward)
+    from thermal_semantic_segmentation_tpu.models.factory import (
+        init_gan_net, unet_256)
+
+    model = unet_256(ngf=4, input_nc=3, output_nc=1)
+    variables = init_gan_net(model, jax.random.key(7), (1, 256, 512, 3))
+    quant = export_generator_forward(model, variables, hw=(256, 512),
+                                     channels=3, batch=None,
+                                     quantize="int8", platforms=("cpu",))
+    path = str(tmp_path / "g_q.stablehlo")
+    save_exported(quant, path, meta={"output_kind": "translation",
+                                     "channels": 3})
+
+    args = argparse.Namespace(artifact=path, batch_size=4, max_wait_ms=20,
+                              bf16=False, normalize=[0.5, 0.5, 0.5],
+                              denormalize=[0.5])
+    server, handler_kw = _server_from_artifact(args)
+    server.warmup()
+    server.start()
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(server, {"artifact": path},
+                                       **handler_kw))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    rgb = (np.random.default_rng(8).integers(0, 255, (64, 96, 3))
+           .astype(np.uint8))
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="PNG")
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/translate?format=png",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert out.shape == (256, 512) and out.dtype == np.uint8
+
+        from thermal_semantic_segmentation_tpu.cli.serve import (
+            make_translation_fns)
+        qtree, scales, _ = quantize_variables(variables)
+        deq_vars = dequantize_variables_np(qtree, scales)
+        pre, _, _ = make_translation_fns(None, channels=3,
+                                         normalize=[0.5, 0.5, 0.5],
+                                         denormalize=[0.5], hw=(256, 512))
+        x = pre(buf.getvalue())[None]
+        direct = np.asarray(model.apply(deq_vars, jnp.asarray(x),
+                                        train=False, mutable=False))
+        ref = np.clip((direct * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(out, ref[0, ..., 0])
+    finally:
+        httpd.shutdown()
+        server.stop()
+
+
 def test_serve_from_artifact_rejects_mismatched_fixed_batch(tmp_path, tiny):
     import argparse
 
