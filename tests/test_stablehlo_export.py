@@ -300,6 +300,23 @@ def test_serve_from_artifact(tmp_path, tiny):
         server.stop()
 
 
+def test_load_dispatch_survives_missing_sidecar(tiny, tmp_path):
+    """load_exported prefers the sidecar's `container` marker but must fall
+    back to content sniffing when the .json is absent — both formats."""
+    model, variables = tiny
+    raw = export_seg_forward(model, variables, label_hw=HW, batch=2,
+                             platforms=("cpu",))
+    quant = export_seg_forward(model, variables, label_hw=HW, batch=2,
+                               quantize="int8", platforms=("cpu",))
+    x = np.random.default_rng(9).uniform(0, 1, (2, *HW, 1)).astype(np.float32)
+    for name, art in (("raw", raw), ("quant", quant)):
+        path = str(tmp_path / f"{name}.stablehlo")
+        save_exported(art, path)
+        os.remove(path + ".json")
+        got = np.asarray(load_exported(path).call(x))
+        assert got.shape == (2, *HW), name
+
+
 def test_serve_translation_from_int8_artifact(tmp_path):
     """A quantized translator container served over /translate: the full
     consumer chain (container load -> micro-batcher -> denorm/encode) must
