@@ -22,14 +22,17 @@ import sys
 import time
 
 
-def _wait_for_backend(probes=8, interval_s=45):
+def _wait_for_backend(probes=24, interval_s=90):
     """Block until the JAX backend initializes, probing in a subprocess.
 
     The axon TPU backend can be Unavailable for stretches (tunnel flaps);
     probing in a child keeps this process's jax state clean so the real
     import below starts fresh.  Bounded: gives up after `probes` attempts
-    and lets the normal import raise its own error.
+    (~80 min — outages of 3+ hours have been observed, so the bound trades
+    a lost bench run against hanging a driver forever) and lets the normal
+    import raise its own error.  TSS_BENCH_PROBES overrides the count.
     """
+    probes = int(os.environ.get("TSS_BENCH_PROBES", probes))
     probe = [sys.executable, "-c", "import jax; jax.devices()"]
     for i in range(probes):
         try:
