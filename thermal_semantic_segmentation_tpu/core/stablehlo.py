@@ -360,16 +360,20 @@ def _self_check(exported, channels: int, label_hw, batch: Optional[int],
     x = np.random.default_rng(0).uniform(
         lo, 1, size=(n, *label_hw, channels)).astype(np.float32)
     got = np.asarray(back.call(x))
+    # jit the reference forward: an un-jitted apply dispatches per-op, which
+    # over a tunneled TPU means minutes of round trips (CLAUDE.md)
     if output == "image":
-        ref = np.asarray(model.apply(variables, jnp.asarray(x), train=False,
-                                     mutable=False), dtype=np.float32)
+        fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False,
+                                                mutable=False))
+        ref = np.asarray(fwd(variables, jnp.asarray(x)), dtype=np.float32)
         diff = float(np.max(np.abs(got - ref)))
         if diff > tol:
             raise AssertionError(f"exported generator diverges from the "
                                  f"direct forward: max abs diff {diff:.3e}")
         return diff
-    out = model.apply(variables, jnp.asarray(x), train=False)
-    logits = upsample_logits(out["out"], *label_hw)
+    fwd = jax.jit(lambda v, xx: upsample_logits(
+        model.apply(v, xx, train=False)["out"], *label_hw))
+    logits = fwd(variables, jnp.asarray(x))
     if output == "ids":
         ref_logits = np.asarray(logits, dtype=np.float32)
         ref = ref_logits.argmax(-1).astype(np.uint8)
