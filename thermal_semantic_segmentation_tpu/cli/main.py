@@ -66,7 +66,9 @@ def build_gan_datasets(args):
     return source, target
 
 
-def gan_main(args):
+def gan_main(args, shutdown=None):
+    from ..utils.preempt import NullShutdown
+    shutdown = shutdown if shutdown is not None else NullShutdown()
     key = jax.random.key(args.seed)
     source, target = build_gan_datasets(args)
     src_loader = DataLoader(source, args.batch_size, shuffle=True,
@@ -185,6 +187,8 @@ def gan_main(args):
                 merged_batches(), mesh, wire=wire)):
             if args.max_steps and i >= args.max_steps:
                 break
+            if shutdown.requested:
+                break
             real_s, real_t = b["real_s"], b["real_t"]
             label_s = b.get("label_s")
             log_now = i % args.log_interval == 0
@@ -226,6 +230,20 @@ def gan_main(args):
                             loss_dict.setdefault(k, []).append(v)
                     epoch_counter_ratio.append(epoch + i / max(n_batches, 1))
                     plotter.plot_loss(epoch_counter_ratio, loss_dict)
+
+        if shutdown.requested:
+            # preempted mid-epoch: write a distinct resumable checkpoint
+            # (never clobber the clean per-epoch save) and exit
+            path = os.path.join(args.gan_model_root_path,
+                                "preempt_" + args.new_checkpoint_name)
+            save_checkpoint(path, {
+                "epoch": epoch - 1,
+                "g_vars": _materialize_gan_vars(state, g_vars, "g"),
+                "d_vars": _materialize_gan_vars(state, d_vars, "d")})
+            print(f"[preempt] saved {path} — resume with -load_model true "
+                  f"-checkpoint_name preempt_{args.new_checkpoint_name}",
+                  flush=True)
+            return state
 
         last = epoch == restart_epoch + args.num_epoch - 1
         if last or (epoch - restart_epoch + 1) % getattr(
@@ -276,7 +294,9 @@ def _materialize_gan_vars(state: GanTrainState, template, which):
 
 
 def main(argv=None):
-    gan_main(train_parse().parse_args(argv))
+    from ..utils.preempt import GracefulShutdown
+    with GracefulShutdown() as shutdown:
+        gan_main(train_parse().parse_args(argv), shutdown=shutdown)
 
 
 if __name__ == "__main__":

@@ -7,12 +7,14 @@ from __future__ import annotations
 
 from .main import gan_main
 from .options import train_parse
+from ..utils.preempt import GracefulShutdown
 
 
 def main(argv=None):
     args = train_parse().parse_args(argv)
     args.cycle = False
-    gan_main(args)
+    with GracefulShutdown() as shutdown:
+        gan_main(args, shutdown=shutdown)
 
 
 if __name__ == "__main__":

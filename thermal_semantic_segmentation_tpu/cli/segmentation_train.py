@@ -30,7 +30,9 @@ from ._common import (apply_model_meta, build_deeplab, build_seg_dataset,
 from .options import seg_parse
 
 
-def seg_main(args, logger):
+def seg_main(args, logger, shutdown=None):
+    from ..utils.preempt import NullShutdown
+    shutdown = shutdown if shutdown is not None else NullShutdown()
     mesh = make_mesh()
     device_aug = getattr(args, "device_aug", False)
     if device_aug:
@@ -108,6 +110,8 @@ def seg_main(args, logger):
                 train_loader, mesh, wire=wire)):
             if args.max_steps and i >= args.max_steps:
                 break
+            if shutdown.requested:
+                break
             state, loss = train_step(state, batch["image"], batch["label"])
             if i % args.log_interval == 0:
                 bs = batch["image"].shape[0]
@@ -121,6 +125,21 @@ def seg_main(args, logger):
                 metrics_log.log(int(state.step), {"train_loss": loss_val,
                                                   "images_per_sec": images_per_sec.val},
                                 epoch=epoch)
+
+        if shutdown.requested:
+            # preempted mid-epoch: persist a resumable checkpoint (the
+            # interrupted epoch is redone in full on resume) and exit before
+            # validation — preemption grace windows are short
+            path = os.path.join(args.model_root_path,
+                                "preempt_" + args.new_checkpoint_name)
+            save_seg_checkpoint(path, jax.device_get(state.variables),
+                                epoch=epoch - 1, val_loss=lowest_val_loss,
+                                **model_meta(args))
+            msg = (f"preempted (signal {shutdown.signum}) during epoch "
+                   f"{epoch}; saved {path} — resume with -load_model true "
+                   f"-checkpoint_name preempt_{args.new_checkpoint_name}")
+            print(msg); logger.info(msg)
+            return state
 
         mean_iu, val_loss, class_iou = seg_validate(
             model, state.variables, val_loader, num_classes=args.num_classes,
@@ -161,7 +180,9 @@ def main(argv=None):
     args.logdir = os.path.join("logs", args.new_checkpoint_name.replace(".pth", ""))
     os.makedirs(args.logdir, exist_ok=True)
     logger = get_logger(args.logdir)
-    seg_main(args, logger)
+    from ..utils.preempt import GracefulShutdown
+    with GracefulShutdown() as shutdown:
+        seg_main(args, logger, shutdown=shutdown)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,9 @@ from .cal_prototype import prototype_path
 from .options import self_train_parse
 
 
-def self_train_main(args, logger):
+def self_train_main(args, logger, shutdown=None):
+    from ..utils.preempt import NullShutdown
+    shutdown = shutdown if shutdown is not None else NullShutdown()
     source_dataset = Freiburg(args.freiburg_root, "train", "RGB",
                               translation_name=args.translation_name,
                               segmentation_mode=True, transforms=train_transform())
@@ -137,6 +139,8 @@ def self_train_main(args, logger):
                 merged_batches(), mesh, wire=wire)):
             if args.max_steps and i >= args.max_steps:
                 break
+            if shutdown.requested:
+                break
             state, loss_pseudo, loss_source = step(
                 state, b["s_image"], b["s_label"], b["t_image"], b["t_full"],
                 b.get("t_soft"), b["t_hard"], b["wp"])
@@ -169,6 +173,14 @@ def self_train_main(args, logger):
                 else:
                     print("Model not improved.")
             args.iter_counter += 1
+        if shutdown.requested:
+            # preempted mid-epoch: distinct resumable checkpoint (same
+            # schema incl. prototypes); the epoch is redone on resume
+            save("preempt", epoch - 1)
+            msg = (f"preempted (signal {shutdown.signum}) during epoch "
+                   f"{epoch}; saved preempt{args.new_checkpoint_name}")
+            print(msg); logger.info(msg)
+            return state
         save("last", epoch)
     return state
 
@@ -189,7 +201,9 @@ def main(argv=None):
                                args.new_checkpoint_name.replace(".pth", ""))
     os.makedirs(args.logdir, exist_ok=True)
     logger = get_logger(args.logdir)
-    self_train_main(args, logger)
+    from ..utils.preempt import GracefulShutdown
+    with GracefulShutdown() as shutdown:
+        self_train_main(args, logger, shutdown=shutdown)
 
 
 if __name__ == "__main__":
