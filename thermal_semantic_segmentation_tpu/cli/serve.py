@@ -685,6 +685,12 @@ def main(argv=None):
                                 make_handler(server, info, **handler_kw))
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch {args.batch_size}, wait {args.max_wait_ms} ms)", flush=True)
+    # production schedulers stop services with SIGTERM: turn it into a
+    # SystemExit out of serve_forever so the finally runs server.stop(),
+    # which fails queued requests explicitly instead of hanging clients
+    import signal
+    import sys as _sys
+    signal.signal(signal.SIGTERM, lambda s, f: _sys.exit(0))
     try:
         httpd.serve_forever()
     finally:
