@@ -210,3 +210,24 @@ def test_disk_tier_invalidates_on_newer_source(tmp_path):
     third = c3.get_or_decode(key, lambda: 1 / 0)
     np.testing.assert_array_equal(third, 1)
     assert c3.disk_hits == 1
+
+
+def test_cli_resize_only_keeps_disk_tier(tmp_path):
+    """A CLI invocation passing only --decode_cache_mb must not clear a
+    previously configured disk tier: when CLIs chain in one process (the
+    bench_all gates), a later stage's resize-only flag would otherwise
+    silently drop persistence (set_decode_cache treats disk_dir=None as an
+    explicit clear)."""
+    from thermal_semantic_segmentation_tpu.cli.options import seg_parse
+    try:
+        set_decode_cache(1, disk_dir=str(tmp_path / "tier"))
+        args = seg_parse().parse_args(["--decode_cache_mb", "2"])
+        assert args.decode_cache_mb == 2
+        assert decode_cache().disk_dir == str(tmp_path / "tier")
+        # and an explicit --decode_cache_dir still reconfigures it
+        seg_parse().parse_args(["--decode_cache_mb", "2",
+                                "--decode_cache_dir",
+                                str(tmp_path / "other")])
+        assert decode_cache().disk_dir == str(tmp_path / "other")
+    finally:
+        set_decode_cache(0, disk_dir=None)

@@ -106,3 +106,22 @@ def test_pseudo_proto_selftrain_chain(tmp_path, monkeypatch):
     back, meta = load_seg_checkpoint(out)
     assert [int(x) for x in meta["layers"]] == [1, 1, 1, 1]
     assert np.asarray(meta["objective_vectors"]).shape == (13, 256)
+
+    # resume from a SELF-TRAIN checkpoint (best/last/preempt_): prototypes
+    # and the best-mIoU threshold come from its meta — no prototype artifact
+    # exists under this checkpoint name, so this also proves the fallback
+    # prototype_path load is skipped. Pseudo-label paths must be passed
+    # explicitly (they re-derive from the checkpoint name by default).
+    pl_root = os.path.join(root, "pseudo_labels")
+    self_train_main.main(["--root", root,
+                          "-new_checkpoint_name", "adapted2.pth",
+                          "-translation_name", "translation",
+                          "--epochs", "1", "-max_steps", "1",
+                          "--val_interval", "1000", "--resize", "128",
+                          "--rcrop", "128", "64", "-batch_size", "4",
+                          "--path_soft", os.path.join(pl_root, "soft", "src"),
+                          "--path_lp", os.path.join(pl_root, "hard", "src"),
+                          "--freiburg_root", freiburg,
+                          "--model_root_path", ckpt_dir,
+                          "-checkpoint_name", "lastadapted.pth"])
+    assert os.path.exists(os.path.join(ckpt_dir, "lastadapted2.pth"))

@@ -26,7 +26,15 @@ class HostConfigParser(argparse.ArgumentParser):
         disk = getattr(args, "decode_cache_dir", None)
         if mb or disk:
             from ..data.cache import set_decode_cache
-            set_decode_cache(mb, disk_dir=disk or None)
+            if disk:
+                set_decode_cache(mb, disk_dir=disk)
+            else:
+                # no --decode_cache_dir on THIS command line: leave any
+                # previously configured disk tier alone (disk_dir=None
+                # means "explicitly clear" to set_decode_cache, which
+                # would silently drop persistence when CLIs chain
+                # in-process, e.g. the bench_all gates)
+                set_decode_cache(mb)
         return args
 
 

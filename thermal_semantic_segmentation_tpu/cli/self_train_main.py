@@ -78,9 +78,17 @@ def self_train_main(args, logger, shutdown=None):
     if not args.load_model:
         variables = init_variables
 
-    proto_ckpt = load_checkpoint(
-        prototype_path(args.root, args.target_dataset, args.checkpoint_name))
-    prototypes = np.asarray(proto_ckpt["objective_vectors"])
+    if "objective_vectors" in meta:
+        # resuming from a self-train checkpoint (best/last/preempt_): its
+        # moving prototypes ARE the training state — the offline prototype
+        # artifact belongs to the original source checkpoint's name and
+        # would be both stale and (for renamed resumes) missing
+        prototypes = np.asarray(meta["objective_vectors"])
+    else:
+        proto_ckpt = load_checkpoint(
+            prototype_path(args.root, args.target_dataset,
+                           args.checkpoint_name))
+        prototypes = np.asarray(proto_ckpt["objective_vectors"])
 
     from ..parallel.mesh import make_mesh, replicate
     mesh = make_mesh()
@@ -100,7 +108,10 @@ def self_train_main(args, logger, shutdown=None):
     scheduler = ReduceLROnPlateau(mode="min")  # reference feeds mean_iu to a
     # 'min' plateau scheduler (self_train_main.py:67,117) — kept for parity.
 
-    highest_mean_iu = args.initial_best_miou
+    # resume restores the best-so-far threshold (else a resumed run would
+    # overwrite the true best checkpoint with a worse one)
+    highest_mean_iu = float(meta.get("highest_mean_iu",
+                                     args.initial_best_miou))
     os.makedirs(os.path.join(args.root, args.model_root_path), exist_ok=True)
 
     def save(tag: str, epoch: int):
@@ -175,10 +186,16 @@ def self_train_main(args, logger, shutdown=None):
             args.iter_counter += 1
         if shutdown.requested:
             # preempted mid-epoch: distinct resumable checkpoint (same
-            # schema incl. prototypes); the epoch is redone on resume
-            save("preempt", epoch - 1)
+            # schema incl. prototypes); the epoch is redone on resume.
+            # "preempt_" with the underscore: the documented convention
+            # (utils/preempt.py) shared with the seg and GAN trainers.
+            save("preempt_", epoch - 1)
             msg = (f"preempted (signal {shutdown.signum}) during epoch "
-                   f"{epoch}; saved preempt{args.new_checkpoint_name}")
+                   f"{epoch}; saved preempt_{args.new_checkpoint_name} — "
+                   f"resume with -load_model true -checkpoint_name "
+                   f"preempt_{args.new_checkpoint_name} --path_soft "
+                   f"{args.path_soft} --path_lp {args.path_lp} (pseudo-label "
+                   f"paths otherwise re-derive from the new checkpoint name)")
             print(msg); logger.info(msg)
             return state
         save("last", epoch)

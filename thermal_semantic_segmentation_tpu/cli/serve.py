@@ -602,6 +602,10 @@ def _server_from_artifact(args):
             f"-batch_size {batch_dim} or re-export with --batch dynamic")
     hw = (int(spec["shape"][1]), int(spec["shape"][2]))
     channels = int(spec["shape"][3])
+    # the blob enforces its recorded input avals: the wire dtype must follow
+    # the artifact, NOT --bf16 (a bf16 feed into an f32-aval program fails
+    # every real batch while warmup, which bypasses the feed, looks healthy)
+    wire_bf16 = spec.get("dtype") == "bfloat16"
     call = exported.call
     kind = sidecar.get("output_kind", "ids")
     if kind == "ids":
@@ -609,7 +613,7 @@ def _server_from_artifact(args):
         server = InferenceServer(
             None, {}, batch_size=args.batch_size,
             max_wait_ms=args.max_wait_ms, label_hw=hw,
-            wire_bf16=bool(getattr(args, "bf16", False)), channels=channels,
+            wire_bf16=wire_bf16, channels=channels,
             predict_fn=predict)
         return server, {}
     if kind == "translation":
@@ -628,7 +632,7 @@ def _server_from_artifact(args):
         server = InferenceServer(
             None, {}, batch_size=args.batch_size,
             max_wait_ms=args.max_wait_ms, label_hw=hw,
-            wire_bf16=bool(getattr(args, "bf16", False)), channels=channels,
+            wire_bf16=wire_bf16, channels=channels,
             predict_fn=predict, preprocess_fn=pre)
         return server, dict(encode=encode,
                             endpoints=("/translate", "/translate_stream"),

@@ -395,7 +395,17 @@ def _self_check(exported, channels: int, label_hw, batch: Optional[int],
                     f"logit gap up to {gap.max() / scale:.2e} (not ties)")
         return float(differ.mean())
     ref = np.asarray(logits, dtype=np.float32)
-    return float(np.max(np.abs(got - ref)))
+    diff = float(np.max(np.abs(got - ref)))
+    # scale-relative bound: constant-folding the baked weights reassociates
+    # float ops, so exact equality is unattainable — but a diff comparable
+    # to the logit scale means a broken artifact, and a check that can
+    # never fail is no check
+    scale = float(np.abs(ref).max()) + 1e-30
+    if diff / scale > tol:
+        raise AssertionError(
+            f"exported logits diverge from the direct forward: max abs "
+            f"diff {diff:.3e} ({diff / scale:.2e} of the logit scale)")
+    return diff
 
 
 def _default_artifact_name(checkpoint_name: str, output: str) -> str:

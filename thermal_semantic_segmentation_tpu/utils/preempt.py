@@ -41,8 +41,10 @@ class GracefulShutdown:
     def _handler(self, signum, frame):
         if self.requested:
             # second signal: the user/scheduler means it — restore the
-            # original disposition and re-deliver
-            prev = self._previous.get(signum, signal.SIG_DFL)
+            # original disposition and re-deliver. signal.getsignal returns
+            # None for handlers installed outside Python; those can't be
+            # re-installed, so fall back to the default disposition.
+            prev = self._previous.get(signum) or signal.SIG_DFL
             signal.signal(signum, prev)
             signal.raise_signal(signum)
             return
@@ -63,7 +65,9 @@ class GracefulShutdown:
 
     def __exit__(self, *exc) -> None:
         for s, prev in self._previous.items():
-            signal.signal(s, prev)
+            # None = the previous handler was installed outside Python and
+            # cannot be re-installed; default is the closest restoration
+            signal.signal(s, prev if prev is not None else signal.SIG_DFL)
         self._previous.clear()
 
 
