@@ -513,3 +513,74 @@ def test_translation_16bit_ir_uses_radiometric_window(translation_server):
     # constant (255-ish - m)/m near +1 with ~zero variance
     assert -1.1 <= arr.min() and arr.max() <= 1.1
     assert arr.std() > 0.05
+
+
+def test_mesh_data_parallel_serving():
+    """Data-parallel serving over the 8-device CPU mesh: params replicated,
+    the coalesced batch sharded over 'data', predictions match a plain
+    single-device forward on the same pixels (cli/serve.py mesh= path)."""
+    from thermal_semantic_segmentation_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_mesh()
+    model, variables = create_deeplab(jax.random.key(3), **TINY)
+    srv = InferenceServer(model, variables, batch_size=mesh.size,
+                          max_wait_ms=30, label_hw=HW, mesh=mesh)
+    srv.warmup()
+    srv.start()
+    try:
+        # params replicated onto every mesh device
+        leaf = jax.tree.leaves(srv._variables)[0]
+        assert len(leaf.sharding.device_set) == mesh.size
+        assert leaf.sharding.is_fully_replicated
+        # the wire feed's unpacked batch is sharded over the data axis
+        fed = srv._feed.put(
+            {"images": np.zeros((mesh.size, *HW, 1), np.float32)})["images"]
+        assert len(fed.sharding.device_set) == mesh.size
+        assert not fed.sharding.is_fully_replicated
+
+        rng = np.random.default_rng(9)
+        imgs = [rng.integers(21000, 26000, (40, 120)).astype(np.uint16)
+                for _ in range(mesh.size)]
+        payloads = [_png_bytes(im) for im in imgs]
+        before = srv.batches_run
+        with ThreadPoolExecutor(mesh.size) as pool:
+            preds = list(pool.map(srv.segment, payloads))
+        assert srv.batches_run - before < len(payloads)  # coalesced SPMD runs
+        for p in preds:
+            assert p.shape == HW and p.dtype == np.uint8 and p.max() < 13
+
+        # oracle: the same preprocessed pixels through an unsharded jit
+        import jax.numpy as jnp
+
+        from thermal_semantic_segmentation_tpu.ops.resize import (
+            upsample_logits)
+
+        @jax.jit
+        def oracle(variables, images):
+            out = model.apply(variables, images, train=False)
+            return jnp.argmax(upsample_logits(out["out"], *HW),
+                              axis=-1).astype(jnp.uint8)
+
+        batch = np.stack([preprocess(p, HW) for p in payloads])
+        ref = np.asarray(oracle(variables, batch))
+        # sharded vs unsharded reductions may flip argmax on exact logit
+        # ties; require pixel-level agreement up to a tiny tie budget
+        mismatch = np.mean([np.mean(p != r) for p, r in zip(preds, ref)])
+        assert mismatch < 0.005, mismatch
+    finally:
+        srv.stop()
+
+
+def test_mesh_batch_size_must_divide():
+    """A batch that can't split evenly over the mesh is a config error —
+    caught at construction, not as a runtime XLA sharding failure."""
+    from thermal_semantic_segmentation_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    model, variables = create_deeplab(jax.random.key(0), **TINY)
+    with pytest.raises(ValueError, match="mesh"):
+        InferenceServer(model, variables, batch_size=len(jax.devices()) + 1,
+                        label_hw=HW, mesh=make_mesh())

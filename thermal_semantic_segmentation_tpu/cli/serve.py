@@ -37,6 +37,11 @@ where status 0 = ok (payload is the PNG/JSON result), 1 = bad frame
 (payload is the error message; other frames are unaffected), 2 = inference
 error. ``stream_segment()`` below is a reference client.
 
+``--data_parallel true`` shards every coalesced batch over all visible
+chips (params replicated, batch split over a ``jax.sharding`` mesh): the
+micro-batcher aggregates concurrent requests into one SPMD forward, so N
+chips serve N× the single-chip rate at the same per-request latency.
+
 Stdlib only (ThreadingHTTPServer) — no web framework dependency.
 """
 
@@ -99,25 +104,38 @@ class InferenceServer:
     Requests enqueue (array, Future); a single worker thread drains up to
     ``batch_size`` of them (waiting at most ``max_wait_ms`` for stragglers
     after the first), pads the tail to the fixed batch shape, and runs ONE
-    device step — XLA compiles exactly one program shape."""
+    device step — XLA compiles exactly one program shape.
+
+    ``mesh``: data-parallel serving over a ``jax.sharding.Mesh``. The
+    coalesced batch is sharded over the mesh's leading axis (the wire
+    buffer's batch dim shards directly — data/wire.py), params are
+    replicated, and the jitted forward runs SPMD across the chips; each
+    chip segments batch_size/n_chips images. This is the inference-side
+    counterpart of the training mesh (parallel/mesh.py) — the reference
+    is single-GPU and has no serving surface at all."""
 
     def __init__(self, model, variables, *, batch_size: int = 8,
                  max_wait_ms: float = 10.0, label_hw=HW,
                  wire_bf16: bool = False, channels: int = 1,
-                 predict_fn=None, preprocess_fn=None):
+                 predict_fn=None, preprocess_fn=None, mesh=None):
         import jax
         import jax.numpy as jnp
 
         from ..data.wire import PackedFeed
         from ..ops.resize import upsample_logits
 
+        if mesh is not None and batch_size % mesh.size:
+            raise ValueError(
+                f"batch_size {batch_size} must divide evenly over the "
+                f"{mesh.size}-device mesh (each chip gets an equal shard)")
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1e3
         self.label_hw = label_hw
         self.channels = channels
         # bf16-compute models can ship request pixels as bf16 losslessly
         # (the model casts at entry anyway) — half the host->device bytes
-        self._feed = PackedFeed(float_wire="bfloat16" if wire_bf16 else None)
+        self._feed = PackedFeed(mesh,
+                                float_wire="bfloat16" if wire_bf16 else None)
 
         @jax.jit
         def predict(variables, images):
@@ -134,7 +152,11 @@ class InferenceServer:
             lambda data: preprocess(data, self.label_hw, self.channels))
         # params live on device for the server's lifetime — passing host
         # numpy into the jit would re-upload every weight on every batch
-        self._variables = jax.device_put(variables)
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            self._variables = replicate(mesh, variables)
+        else:
+            self._variables = jax.device_put(variables)
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         # serializes submit()'s stop-check-then-put against stop()'s final
@@ -148,6 +170,10 @@ class InferenceServer:
     def warmup(self):
         zero = np.zeros((self.batch_size, *self.label_hw, self.channels),
                         np.float32)
+        # go through the wire feed so warmup compiles the EXACT production
+        # program: same wire dtype AND same input sharding (on a mesh, a raw
+        # host array would compile a second, unsharded program)
+        zero = self._feed.put({"images": zero})["images"]
         np.asarray(self._predict(self._variables, zero))
 
     def start(self):
@@ -577,6 +603,12 @@ def serve_parse():
     parser.add_argument("--max_wait_ms", type=float, default=10.0,
                         help="micro-batching latency budget after the first "
                              "request of a batch arrives.")
+    parser.add_argument("--data_parallel", type=str2bool, default=False,
+                        help="shard each coalesced batch over ALL visible "
+                             "chips (jax.sharding mesh, params replicated); "
+                             "batch_size must divide by the chip count. "
+                             "Checkpoint kinds only — StableHLO artifacts "
+                             "are compiled single-device programs.")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8756)
     _add_roots(parser)
@@ -603,8 +635,8 @@ def _server_from_artifact(args):
     hw = (int(spec["shape"][1]), int(spec["shape"][2]))
     channels = int(spec["shape"][3])
     # the blob enforces its recorded input avals: the wire dtype must follow
-    # the artifact, NOT --bf16 (a bf16 feed into an f32-aval program fails
-    # every real batch while warmup, which bypasses the feed, looks healthy)
+    # the artifact, NOT --bf16 (a bf16 feed into an f32-aval program fails;
+    # warmup runs through the same feed, so a mismatch dies at startup)
     wire_bf16 = spec.get("dtype") == "bfloat16"
     call = exported.call
     kind = sidecar.get("output_kind", "ids")
@@ -646,6 +678,15 @@ def main(argv=None):
 
     args = serve_parse().parse_args(argv)
     handler_kw = {}
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        if getattr(args, "artifact", ""):
+            raise SystemExit(
+                "--data_parallel serves checkpoints; StableHLO artifacts "
+                "are single-device programs (re-serve from the checkpoint)")
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh()
+        print(f"data-parallel serving over {mesh.size} devices", flush=True)
     if getattr(args, "artifact", ""):
         server, handler_kw = _server_from_artifact(args)
     elif args.kind == "seg":
@@ -660,7 +701,8 @@ def main(argv=None):
             model, variables, batch_size=args.batch_size,
             max_wait_ms=args.max_wait_ms,
             wire_bf16=bool(getattr(args, "bf16", False)),
-            channels=1 if args.net_mode == "one_channel" else 3)
+            channels=1 if args.net_mode == "one_channel" else 3,
+            mesh=mesh)
     else:
         from ._common import build_generator_from_gan_checkpoint
 
@@ -675,7 +717,8 @@ def main(argv=None):
             model, variables, batch_size=args.batch_size,
             max_wait_ms=args.max_wait_ms,
             wire_bf16=bool(getattr(args, "bf16", False)),
-            channels=args.input_nc, predict_fn=predict, preprocess_fn=pre)
+            channels=args.input_nc, predict_fn=predict, preprocess_fn=pre,
+            mesh=mesh)
         handler_kw = dict(encode=encode,
                           endpoints=("/translate", "/translate_stream"),
                           formats=("palette", "png"))  # both mean PNG here
@@ -684,7 +727,8 @@ def main(argv=None):
     server.start()
     info = {"checkpoint": args.checkpoint_name, "batch_size": args.batch_size,
             "kind": args.kind, "artifact": getattr(args, "artifact", ""),
-            "bf16": bool(getattr(args, "bf16", False))}
+            "bf16": bool(getattr(args, "bf16", False)),
+            "devices": mesh.size if mesh is not None else 1}
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(server, info, **handler_kw))
     print(f"serving on http://{args.host}:{args.port} "
