@@ -227,3 +227,32 @@ def test_grad_accum_composes_with_per_replica_bn():
     assert np.isfinite(float(loss))
     assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
     assert int(state.step) == 1
+
+
+def test_make_mesh_shrinks_to_batch_divisor():
+    """A global batch that can't split over every device must yield a
+    smaller working mesh (with a warning), not an opaque XLA sharding
+    error from shard_batch (parallel/mesh.py make_mesh batch_size=)."""
+    import warnings
+
+    import pytest
+
+    from thermal_semantic_segmentation_tpu.parallel.mesh import (
+        make_mesh, shard_batch)
+
+    n = len(jax.devices())
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        mesh = make_mesh(batch_size=2)
+    assert mesh.size == 2
+    assert any("does not divide" in str(w.message) for w in caught)
+    # divisible batches keep the full mesh, silently
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        full = make_mesh(batch_size=2 * n)
+    assert full.size == n and not caught
+    # the shrunken mesh actually shards the awkward batch
+    x = shard_batch(mesh, {"v": np.zeros((2, 4), np.float32)})
+    assert x["v"].shape == (2, 4)

@@ -124,7 +124,7 @@ def gan_main(args, shutdown=None):
         print(f"loading trained model. start from epoch {restart_epoch}.")
 
     from ..parallel.mesh import make_mesh, replicate, shard_batch
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=args.batch_size)
     state = replicate(mesh, create_gan_state(g_vars=g_vars, d_vars=d_vars,
                                              learning_rate=args.lr))
     step_kwargs = dict(

@@ -33,7 +33,7 @@ from .options import seg_parse
 def seg_main(args, logger, shutdown=None):
     from ..utils.preempt import NullShutdown
     shutdown = shutdown if shutdown is not None else NullShutdown()
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=args.batch_size)
     device_aug = getattr(args, "device_aug", False)
     if device_aug:
         # host pipeline only decodes full-res frames; crop/flip run on device

@@ -91,7 +91,7 @@ def self_train_main(args, logger, shutdown=None):
         prototypes = np.asarray(proto_ckpt["objective_vectors"])
 
     from ..parallel.mesh import make_mesh, replicate
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=args.batch_size)
     state = replicate(mesh, create_self_train_state(
         model, variables, prototypes=prototypes, learning_rate=args.lr,
         num_classes=args.num_classes))

@@ -31,10 +31,34 @@ DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
 
 
-def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = DATA_AXIS) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = DATA_AXIS,
+              *, batch_size: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices.
+
+    ``batch_size``: the global batch the mesh will shard. When it does not
+    divide over the visible devices (e.g. ``-batch_size 2`` on an 8-chip
+    host), the mesh shrinks to the largest device count that divides the
+    batch — with a loud warning, since the dropped chips idle — instead of
+    letting ``shard_batch`` die later in an opaque XLA sharding error.
+    Multi-host processes never shrink (every host must contribute its
+    devices to the mesh); they get the clear error up front instead."""
     if devices is None:
         devices = jax.devices()
+    n = len(devices)
+    if batch_size is not None and n > 1 and batch_size % n:
+        if jax.process_count() > 1:
+            raise ValueError(
+                f"global batch {batch_size} does not divide over the "
+                f"{n}-device multi-host mesh; pick a batch size that is a "
+                f"multiple of the device count")
+        keep = max(d for d in range(1, n + 1) if batch_size % d == 0)
+        import warnings
+        warnings.warn(
+            f"global batch {batch_size} does not divide over {n} devices; "
+            f"training on {keep} device(s) and leaving {n - keep} idle — "
+            f"use a batch size that is a multiple of {n} to engage every "
+            f"chip", stacklevel=2)
+        devices = list(devices)[:keep]
     return Mesh(np.asarray(devices), (axis_name,))
 
 
