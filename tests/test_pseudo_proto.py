@@ -131,3 +131,36 @@ def test_calc_prototypes(tiny):
     for c in range(13):
         if counts[c] > 0:
             assert np.abs(protos[c]).sum() > 0
+
+
+def test_generate_pseudo_labels_sharded_matches(tiny, tmp_path):
+    """mesh= shards pseudo-gen batches over the CPU mesh (ragged tail
+    included); artifacts must match the single-device run."""
+    from thermal_semantic_segmentation_tpu.parallel.mesh import (
+        make_mesh, replicate)
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    model, variables = tiny
+    n0 = generate_pseudo_labels(model, variables, RaggedLoader(),
+                                save_path=str(tmp_path / "ref"),
+                                pad_to_batch=4)
+    mesh = make_mesh(batch_size=4)
+    assert mesh.size > 1
+    n1 = generate_pseudo_labels(model, replicate(mesh, variables),
+                                RaggedLoader(),
+                                save_path=str(tmp_path / "sharded"),
+                                pad_to_batch=4, mesh=mesh)
+    assert n0 == n1 == 5
+    for name in sorted(os.listdir(tmp_path / "ref")):
+        a = np.asarray(Image.open(tmp_path / "ref" / name)) \
+            if name.endswith(".png") else np.load(tmp_path / "ref" / name)
+        b = np.asarray(Image.open(tmp_path / "sharded" / name)) \
+            if name.endswith(".png") else np.load(tmp_path / "sharded" / name)
+        # ids are argmax over f32 logits; sharded and unsharded runs may
+        # disagree only on exact ties (none expected at these sizes)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    with pytest.raises(ValueError, match="divisible"):
+        generate_pseudo_labels(model, variables, RaggedLoader(),
+                               save_path=str(tmp_path / "bad"), mesh=mesh)

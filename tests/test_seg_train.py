@@ -331,3 +331,43 @@ def test_grad_accum_rejects_indivisible_batch(tiny_model):
     image, label = _batch(bs=4)
     with pytest.raises(ValueError, match="not divisible"):
         step(state, image, label)
+
+
+def test_validate_sharded_matches_unsharded(tiny_model):
+    """seg_validate(mesh=...) shards eval batches over the device mesh;
+    every score must match the single-device run (the confusion matrix is
+    a count — sharding must not change it)."""
+    import pytest
+
+    from thermal_semantic_segmentation_tpu.parallel.mesh import (
+        make_mesh, replicate)
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    model, variables = tiny_model
+
+    class Loader:
+        def __iter__(self):
+            for i, bs in enumerate([4, 4, 1]):  # ragged tail shards too
+                image, label = _batch(bs=bs, seed=i)
+                yield {"image": np.asarray(image), "label": np.asarray(label)}
+
+    ref = seg_validate(model, variables, Loader(), num_classes=13,
+                       ignore_index=12, label_hw=LABEL_HW, pad_to_batch=4)
+    mesh = make_mesh(batch_size=4)
+    assert mesh.size > 1
+    sh = seg_validate(model, replicate(mesh, variables), Loader(),
+                      num_classes=13, ignore_index=12, label_hw=LABEL_HW,
+                      pad_to_batch=4, mesh=mesh)
+    np.testing.assert_allclose(ref[0], sh[0], rtol=1e-6)   # mean_iu
+    np.testing.assert_allclose(ref[1], sh[1], rtol=1e-5)   # val_loss
+    for k in ref[2]:
+        if np.isnan(ref[2][k]):
+            assert np.isnan(sh[2][k])
+        else:
+            np.testing.assert_allclose(ref[2][k], sh[2][k], rtol=1e-6)
+
+    # sharded eval without a divisible pad_to_batch is a clear config error
+    with pytest.raises(ValueError, match="divisible"):
+        seg_validate(model, variables, Loader(), num_classes=13,
+                     ignore_index=12, label_hw=LABEL_HW, mesh=mesh)

@@ -27,6 +27,13 @@ def main(argv=None):
     dataset = build_seg_dataset(args, val_transform())
     loader = DataLoader(dataset, args.batch_size, shuffle=False, drop_last=False)
 
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from ..parallel.mesh import make_mesh, replicate
+        mesh = make_mesh(batch_size=args.batch_size)
+        variables = replicate(mesh, variables)
+        print(f"generating data-parallel over {mesh.size} devices")
+
     save_path = os.path.join(args.root, "pseudo_labels", args.pseudo_type,
                              args.checkpoint_name.replace(".pth", ""))
     n = generate_pseudo_labels(model, variables, loader, save_path=save_path,
@@ -35,7 +42,7 @@ def main(argv=None):
                                native_encode=getattr(args, "native_encode",
                                                      False),
                                wire=resolve_wire(args),
-                               pad_to_batch=args.batch_size)
+                               pad_to_batch=args.batch_size, mesh=mesh)
     print(f"wrote pseudo labels for {n} images to {save_path}")
 
 

@@ -98,6 +98,12 @@ def _add_roots(parser: argparse.ArgumentParser):
                              '(default 3,4,23,3 = ResNet-101). Small configs '
                              '(e.g. 1,1,1,1) drive the synthetic convergence '
                              'gate and smoke recipes.')
+    parser.add_argument('--data_parallel', type=str2bool, default=False,
+                        help='shard inference batches over ALL visible chips '
+                             '(offline eval/pseudo-label/translator and the '
+                             'serve CLI; batch sizes that do not divide the '
+                             'chip count shrink the mesh with a warning). '
+                             'Trainers always train data-parallel.')
     parser.add_argument('--seed', type=int, default=0)
 
 

@@ -49,11 +49,18 @@ def seg_evaluation(args):
         if args.generator_type == "t2s":
             save_root = f"predictions/t2s/{args.checkpoint_name.replace('.pth', '')}"
 
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from ..parallel.mesh import make_mesh, replicate
+        mesh = make_mesh(batch_size=args.val_batch_size)
+        variables = replicate(mesh, variables)
+        print(f"evaluating data-parallel over {mesh.size} devices")
+
     mean_iu, avg_loss, class_iou = seg_validate(
         model, variables, loader, num_classes=args.num_classes,
         ignore_index=args.ignore_index, visualize=args.visualize_prediction,
         save_root=save_root, pad_to_batch=args.val_batch_size,
-        wire=resolve_wire(args))
+        wire=resolve_wire(args), mesh=mesh)
     print("checkpoint name: " + args.checkpoint_name)
     print(f"mean iou score: [{mean_iu}]. val_loss: [{avg_loss}]")
     for k, v in class_iou.items():

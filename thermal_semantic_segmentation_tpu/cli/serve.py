@@ -575,7 +575,7 @@ def make_handler(server: InferenceServer, model_info: dict, *,
 
 
 def serve_parse():
-    from .options import HostConfigParser, _add_roots, str2bool
+    from .options import HostConfigParser, _add_roots
     parser = HostConfigParser(description="segmentation/translation "
                                           "inference server")
     parser.add_argument("--kind", type=str, default="seg",
@@ -603,12 +603,9 @@ def serve_parse():
     parser.add_argument("--max_wait_ms", type=float, default=10.0,
                         help="micro-batching latency budget after the first "
                              "request of a batch arrives.")
-    parser.add_argument("--data_parallel", type=str2bool, default=False,
-                        help="shard each coalesced batch over ALL visible "
-                             "chips (jax.sharding mesh, params replicated); "
-                             "batch_size must divide by the chip count. "
-                             "Checkpoint kinds only — StableHLO artifacts "
-                             "are compiled single-device programs.")
+    # --data_parallel comes from the shared _add_roots block: shards each
+    # coalesced batch over all chips (checkpoint kinds only — StableHLO
+    # artifacts are compiled single-device programs).
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8756)
     _add_roots(parser)

@@ -79,18 +79,33 @@ def translate(args):
     # encode/save off-thread so the next device batch overlaps host PNG
     # work (SURVEY §7: overlap device compute with async host writes);
     # in-flight futures are bounded so decoded batches don't pile up in RAM
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from ..parallel.mesh import make_mesh, replicate
+        mesh = make_mesh(batch_size=args.batch_size)
+        variables = replicate(mesh, variables)
+        print(f"translating data-parallel over {mesh.size} devices")
+
+    def _padded(batches):
+        # pad the tail batch on HOST so the jitted generator keeps ONE
+        # compiled shape (and a sharded transfer ships one shape); only
+        # the real rows are written below
+        for b in batches:
+            image = b["image"]
+            real_bs = image.shape[0]
+            image = pad_rows(image, args.batch_size)
+            yield {"image": image, "img_path": b.get("img_path"),
+                   "real_bs": real_bs}
+
     import concurrent.futures as cf
     pool = cf.ThreadPoolExecutor(max_workers=2)
     futures = []
-    for batch in device_prefetch(iter(loader),
+    for batch in device_prefetch(_padded(iter(loader)), mesh,
                                  wire=resolve_wire(args)):
         # datasets in translation mode return the destination path per image
         paths = batch.get("img_path")
         image = jnp.asarray(batch["image"])
-        real_bs = image.shape[0]
-        # pad the tail batch so the jitted generator keeps ONE compiled
-        # shape; only the real rows are written below
-        image = pad_rows(image, args.batch_size)
+        real_bs = batch["real_bs"]
         fake = np.asarray(run(variables, image))[:real_bs]
         fake = np.clip((fake * denorm + denorm) * 255.0, 0, 255).astype(np.uint8)
         out_paths = []

@@ -27,7 +27,7 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
                  visualize: Optional[str] = None, save_root: Optional[str] = None,
                  iter_counter: int = 0, eval_step=None,
                  pad_to_batch: Optional[int] = None,
-                 wire: Optional[str] = "packed"):
+                 wire: Optional[str] = "packed", mesh=None):
     """Returns (mean_iu, val_loss, cls_iu) like the reference seg_validate.
 
     ``visualize``: None | 'save_all' | 'save_one' (reference flag values).
@@ -38,9 +38,18 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
     at batch > 1 while matching the reference's batch-1 protocol bit-for-bit.
     ``wire``: host->device feed format (data/wire.py); 'packed' (default)
     double-buffers one compact lossless transfer per batch, None = per-leaf.
+    ``mesh``: shard each batch over the mesh's data axis and run the forward
+    SPMD — the confusion-matrix/loss reductions cross chips inside the jit
+    (the sharded-eval surface __graft_entry__ surface 4 certifies). Requires
+    ``pad_to_batch`` divisible by ``mesh.size``; ``variables`` should already
+    live on the mesh (replicated) as trainers keep them.
     """
     from ..data.device_pipeline import device_prefetch
 
+    if mesh is not None and (pad_to_batch is None or pad_to_batch % mesh.size):
+        raise ValueError(
+            f"sharded eval needs pad_to_batch (got {pad_to_batch}) divisible "
+            f"by the {mesh.size}-device mesh so tail batches shard too")
     if eval_step is None:
         eval_step = build_seg_eval_step(model, num_classes=num_classes,
                                         ignore_index=ignore_index, label_hw=label_hw)
@@ -48,13 +57,23 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
     loss_sum = jnp.zeros((), jnp.float32)  # accumulated on device
     n_seen = 0
     palette = freiburg_palette()
-    for i, batch in enumerate(device_prefetch(iter(loader), wire=wire)):
+
+    def _padded(batches):
+        # pad on HOST so the (sharded) transfer ships one fixed shape; the
+        # real row count rides along as a plain int (stays host-side)
+        for b in batches:
+            image, label = b["image"], b["label"]
+            real_bs = image.shape[0]
+            if pad_to_batch is not None and real_bs < pad_to_batch:
+                image = pad_rows(image, pad_to_batch)
+                label = pad_rows(label, pad_to_batch, fill=ignore_index)
+            yield {"image": image, "label": label, "real_bs": real_bs}
+
+    for i, batch in enumerate(device_prefetch(_padded(iter(loader)), mesh,
+                                              wire=wire)):
         image = jnp.asarray(batch["image"])
         label = jnp.asarray(batch["label"])
-        real_bs = image.shape[0]
-        if pad_to_batch is not None and real_bs < pad_to_batch:
-            image = pad_rows(image, pad_to_batch)
-            label = pad_rows(label, pad_to_batch, fill=ignore_index)
+        real_bs = batch["real_bs"]
         bhist, loss, pred = eval_step(variables, image, label)
         hist = hist + bhist
         loss_sum = loss_sum + loss * real_bs  # no per-batch host sync

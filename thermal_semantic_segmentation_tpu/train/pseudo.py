@@ -55,7 +55,7 @@ def generate_pseudo_labels(model, variables, loader, *, save_path: str,
                            max_steps: int = 0, writer_threads: int = 8,
                            native_encode: bool = False,
                            wire: str | None = "packed",
-                           pad_to_batch: int | None = None):
+                           pad_to_batch: int | None = None, mesh=None):
     """Run inference over the loader and write pseudo-label artifacts.
 
     pad_to_batch: pad a partial tail batch (drop_last=False serves every
@@ -64,6 +64,10 @@ def generate_pseudo_labels(model, variables, loader, *, save_path: str,
     the axon tunnel cost minutes, so a tail recompile is never worth it.
     (The reference instead relies on drop_last=True and silently skips the
     tail, generate_pseudo_label.py:33-38.)
+
+    mesh: shard each (host-padded) batch over the mesh's data axis and run
+    the forward SPMD across chips; variables should be mesh-replicated.
+    Requires pad_to_batch divisible by mesh.size.
 
     soft: per-image full softmax .npy (channel-first (C, h, w) to match the
           reference file format consumed by the self-train dataset).
@@ -93,17 +97,31 @@ def generate_pseudo_labels(model, variables, loader, *, save_path: str,
 
     from ..data.device_pipeline import device_prefetch
 
+    if mesh is not None and (pad_to_batch is None or pad_to_batch % mesh.size):
+        raise ValueError(
+            f"sharded pseudo-gen needs pad_to_batch (got {pad_to_batch}) "
+            f"divisible by the {mesh.size}-device mesh")
+
+    def _padded(batches):
+        # pad on HOST so every (possibly sharded) transfer ships one shape
+        for b in batches:
+            images = b["image"]
+            real_bs = images.shape[0]
+            if pad_to_batch is not None:
+                images = pad_rows(images, pad_to_batch)
+            yield {"image": images, "img_path": b["img_path"],
+                   "real_bs": real_bs}
+
     n_written = 0
     with cf.ThreadPoolExecutor(max_workers=writer_threads) as pool:
         futures = []
-        for i, batch in enumerate(device_prefetch(iter(loader), wire=wire)):
+        for i, batch in enumerate(device_prefetch(_padded(iter(loader)),
+                                                  mesh, wire=wire)):
             if max_steps and i >= max_steps:
                 break
             images = jnp.asarray(batch["image"])
             names = batch["img_path"]
-            real_bs = images.shape[0]
-            if pad_to_batch is not None:
-                images = pad_rows(images, pad_to_batch)
+            real_bs = batch["real_bs"]
             if soft:
                 probs = np.asarray(soft_fn(variables, images))[:real_bs]
                 for k in range(real_bs):
