@@ -164,3 +164,22 @@ def test_generate_pseudo_labels_sharded_matches(tiny, tmp_path):
     with pytest.raises(ValueError, match="divisible"):
         generate_pseudo_labels(model, variables, RaggedLoader(),
                                save_path=str(tmp_path / "bad"), mesh=mesh)
+
+
+def test_calc_prototypes_sharded_matches(tiny):
+    """mesh= shards prototype computation; per-class means must match the
+    single-device run (sums/counts reduce across chips inside the jit)."""
+    from thermal_semantic_segmentation_tpu.parallel.mesh import (
+        make_mesh, replicate)
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    model, variables = tiny
+    ref_p, ref_c = calc_prototypes(model, variables, FakeLoader(bs=4),
+                                   num_classes=13)
+    mesh = make_mesh(batch_size=4)
+    assert mesh.size > 1
+    sh_p, sh_c = calc_prototypes(model, replicate(mesh, variables),
+                                 FakeLoader(bs=4), num_classes=13, mesh=mesh)
+    np.testing.assert_allclose(ref_c, sh_c, rtol=1e-6)
+    np.testing.assert_allclose(ref_p, sh_p, rtol=1e-4, atol=1e-6)

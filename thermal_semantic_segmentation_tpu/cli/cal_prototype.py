@@ -46,11 +46,18 @@ def calc_prototype(args):
     apply_model_meta(args, meta)
     model, _ = build_deeplab(args, abstract=True)
 
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from ..parallel.mesh import make_mesh, replicate
+        mesh = make_mesh(batch_size=args.batch_size)
+        variables = replicate(mesh, variables)
+        print(f"computing prototypes data-parallel over {mesh.size} devices")
+
     prototypes, counts = calc_prototypes(model, variables, loader,
                                          num_classes=args.num_classes,
                                          epochs=args.epochs,
                                          max_steps=args.max_steps,
-                                         wire=resolve_wire(args))
+                                         wire=resolve_wire(args), mesh=mesh)
     out_path = prototype_path(args.root, args.dataset, args.checkpoint_name)
     print("saving prototypes......")
     save_checkpoint(out_path, {"objective_vectors": np.asarray(prototypes),

@@ -33,15 +33,23 @@ def make_prototype_step(model, *, num_classes: int, feat_dim: int = 256):
 def calc_prototypes(model, variables, loader, *, num_classes: int = 13,
                     feat_dim: int = 256, epochs: int = 1,
                     max_steps: int = 0,
-                    wire: str | None = "packed") -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (prototypes (C, F), counts (C,)) as numpy arrays."""
+                    wire: str | None = "packed",
+                    mesh=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (prototypes (C, F), counts (C,)) as numpy arrays.
+
+    ``mesh``: shard each batch over the mesh's data axis (the loader runs
+    drop_last=True, so every batch is full-size); the per-class feature
+    sums/counts reduce across chips inside the jitted step and the
+    accumulators come back replicated. ``variables`` should be
+    mesh-replicated by the caller."""
     from ..data.device_pipeline import device_prefetch
 
     step = make_prototype_step(model, num_classes=num_classes, feat_dim=feat_dim)
     prototypes = jnp.zeros((num_classes, feat_dim), jnp.float32)
     counts = jnp.zeros((num_classes,), jnp.float32)
     for epoch in range(epochs):
-        for i, batch in enumerate(device_prefetch(iter(loader), wire=wire)):
+        for i, batch in enumerate(device_prefetch(iter(loader), mesh,
+                                                  wire=wire)):
             if max_steps and i >= max_steps:
                 break
             prototypes, counts = step(variables, prototypes, counts,
