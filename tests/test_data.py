@@ -229,3 +229,27 @@ def test_loader_host_sharding():
     # determinism: rebuilding gives the same slices
     _, again0 = epoch_indices((0, 2))
     assert got0 == again0
+
+
+def test_loader_host_sharding_cover_all():
+    """shard_lockstep=False: the slices still partition the dataset but
+    nothing is truncated — every index appears exactly once across hosts
+    (offline file-writing CLIs must process EVERY sample)."""
+    from thermal_semantic_segmentation_tpu.data.loader import DataLoader
+
+    class IdxDataset:
+        def __len__(self):
+            return 23
+
+        def get(self, index, rng):
+            return {"idx": np.asarray(index)}
+
+    got = {}
+    for sid in range(3):
+        dl = DataLoader(IdxDataset(), 4, shuffle=False, drop_last=False,
+                        shard=(sid, 3), shard_lockstep=False, num_threads=2)
+        got[sid] = [int(i) for b in dl for i in b["idx"]]
+        assert len(dl) == -(-len(got[sid]) // 4)
+    all_idx = sum(got.values(), [])
+    assert sorted(all_idx) == list(range(23))      # exact partition
+    assert len(got[0]) == 8 and len(got[2]) == 7   # uneven shares allowed

@@ -48,8 +48,8 @@ def calc_prototype(args):
 
     mesh = None
     if getattr(args, "data_parallel", False):
-        from ..parallel.mesh import make_mesh, replicate
-        mesh = make_mesh(batch_size=args.batch_size)
+        from ..parallel.mesh import local_data_mesh, replicate
+        mesh = local_data_mesh(batch_size=args.batch_size)
         variables = replicate(mesh, variables)
         print(f"computing prototypes data-parallel over {mesh.size} devices")
 

@@ -25,12 +25,17 @@ def main(argv=None):
     model, _ = build_deeplab(args, abstract=True)
 
     dataset = build_seg_dataset(args, val_transform())
-    loader = DataLoader(dataset, args.batch_size, shuffle=False, drop_last=False)
+    # multi-host runs partition the dataset (disjoint, no truncation: every
+    # image gets a pseudo-label) and each process writes its own slice
+    from ..parallel.mesh import host_shard
+    loader = DataLoader(dataset, args.batch_size, shuffle=False,
+                        drop_last=False, shard=host_shard(),
+                        shard_lockstep=False)
 
     mesh = None
     if getattr(args, "data_parallel", False):
-        from ..parallel.mesh import make_mesh, replicate
-        mesh = make_mesh(batch_size=args.batch_size)
+        from ..parallel.mesh import local_data_mesh, replicate
+        mesh = local_data_mesh(batch_size=args.batch_size)
         variables = replicate(mesh, variables)
         print(f"generating data-parallel over {mesh.size} devices")
 

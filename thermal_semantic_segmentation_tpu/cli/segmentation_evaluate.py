@@ -51,8 +51,8 @@ def seg_evaluation(args):
 
     mesh = None
     if getattr(args, "data_parallel", False):
-        from ..parallel.mesh import make_mesh, replicate
-        mesh = make_mesh(batch_size=args.val_batch_size)
+        from ..parallel.mesh import local_data_mesh, replicate
+        mesh = local_data_mesh(batch_size=args.val_batch_size)
         variables = replicate(mesh, variables)
         print(f"evaluating data-parallel over {mesh.size} devices")
 

@@ -681,8 +681,8 @@ def main(argv=None):
             raise SystemExit(
                 "--data_parallel serves checkpoints; StableHLO artifacts "
                 "are single-device programs (re-serve from the checkpoint)")
-        from ..parallel.mesh import make_mesh
-        mesh = make_mesh()
+        from ..parallel.mesh import local_data_mesh
+        mesh = local_data_mesh(batch_size=args.batch_size)
         print(f"data-parallel serving over {mesh.size} devices", flush=True)
     if getattr(args, "artifact", ""):
         server, handler_kw = _server_from_artifact(args)

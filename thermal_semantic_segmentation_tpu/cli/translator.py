@@ -41,7 +41,12 @@ def translate(args):
     else:
         raise ValueError("dataset does not exist.")
 
-    loader = DataLoader(dataset, args.batch_size, shuffle=False, drop_last=False)
+    # multi-host runs partition the dataset (disjoint, no truncation: every
+    # frame gets translated) and each process writes its own slice
+    from ..parallel.mesh import host_shard
+    loader = DataLoader(dataset, args.batch_size, shuffle=False,
+                        drop_last=False, shard=host_shard(),
+                        shard_lockstep=False)
 
     from ._common import build_generator_from_gan_checkpoint
     model, variables, _ = build_generator_from_gan_checkpoint(
@@ -81,8 +86,8 @@ def translate(args):
     # in-flight futures are bounded so decoded batches don't pile up in RAM
     mesh = None
     if getattr(args, "data_parallel", False):
-        from ..parallel.mesh import make_mesh, replicate
-        mesh = make_mesh(batch_size=args.batch_size)
+        from ..parallel.mesh import local_data_mesh, replicate
+        mesh = local_data_mesh(batch_size=args.batch_size)
         variables = replicate(mesh, variables)
         print(f"translating data-parallel over {mesh.size} devices")
 

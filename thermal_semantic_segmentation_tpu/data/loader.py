@@ -47,7 +47,8 @@ class DataLoader:
                  seed: int = 0, num_threads: int = 8,
                  collate: Callable = default_collate, prefetch: int = 2,
                  corrupt_retries: int = 4,
-                 shard: Optional[tuple] = None):
+                 shard: Optional[tuple] = None,
+                 shard_lockstep: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -58,7 +59,13 @@ class DataLoader:
         # truncated so every host sees the SAME number of batches per epoch
         # (hosts must stay in lockstep or the mesh collectives desync).
         # The reference is single-process (no counterpart).
+        # shard_lockstep=False drops the truncation: the slices still
+        # partition the dataset exactly, but hosts may see different batch
+        # counts — for offline file-writing CLIs (pseudo-gen, translator)
+        # where EVERY sample must be processed and no collectives cross
+        # hosts (each process runs its own local mesh).
         self.shard = tuple(shard) if shard else None
+        self.shard_lockstep = shard_lockstep
         if self.shard is not None:
             sid, n = self.shard
             assert 0 <= sid < n, self.shard
@@ -75,7 +82,8 @@ class DataLoader:
     def __len__(self) -> int:
         n = len(self.indices)
         if self.shard is not None:
-            n = n // self.shard[1]
+            sid, nsh = self.shard
+            n = n // nsh if self.shard_lockstep else -(-(n - sid) // nsh)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batches(self):
@@ -84,8 +92,10 @@ class DataLoader:
             host_rng(self.seed, self.epoch).shuffle(order)
         if self.shard is not None:
             sid, nsh = self.shard
-            per_host = len(order) // nsh  # equalize: lockstep across hosts
-            order = order[sid::nsh][:per_host]
+            order = order[sid::nsh]
+            if self.shard_lockstep:
+                # equalize: lockstep across hosts (training collectives)
+                order = order[:len(self.indices) // nsh]
         bs = self.batch_size
         limit = len(order) - (len(order) % bs) if self.drop_last else len(order)
         for start in range(0, limit, bs):

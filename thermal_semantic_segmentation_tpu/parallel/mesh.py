@@ -106,6 +106,17 @@ def host_shard() -> Optional[tuple]:
     return (jax.process_index(), n) if n > 1 else None
 
 
+def local_data_mesh(batch_size: Optional[int] = None) -> Mesh:
+    """Mesh over THIS process's chips only — for offline inference CLIs
+    (evaluate / pseudo-gen / translator / prototypes / serve) whose work is
+    embarrassingly parallel across hosts: each process takes a disjoint
+    loader shard (``host_shard``) and writes its own outputs, so the mesh
+    must not span processes (no cross-host collectives are ever needed and
+    per-host ``device_put`` stays addressable). Single-process, this is
+    exactly ``make_mesh``."""
+    return make_mesh(jax.local_devices(), batch_size=batch_size)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dim; everything else replicated."""
     return NamedSharding(mesh, P(axis_name))
