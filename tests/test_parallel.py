@@ -243,10 +243,13 @@ def test_make_mesh_shrinks_to_batch_divisor():
     n = len(jax.devices())
     if n < 2:
         pytest.skip("needs multiple devices")
+    bs = 3 if n == 2 else 2  # any bs with bs % n != 0 triggers the shrink
+    expected = max(d for d in range(1, n + 1) if bs % d == 0)
+    assert expected < n
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        mesh = make_mesh(batch_size=2)
-    assert mesh.size == 2
+        mesh = make_mesh(batch_size=bs)
+    assert mesh.size == expected
     assert any("does not divide" in str(w.message) for w in caught)
     # divisible batches keep the full mesh, silently
     with warnings.catch_warnings(record=True) as caught:
@@ -254,5 +257,5 @@ def test_make_mesh_shrinks_to_batch_divisor():
         full = make_mesh(batch_size=2 * n)
     assert full.size == n and not caught
     # the shrunken mesh actually shards the awkward batch
-    x = shard_batch(mesh, {"v": np.zeros((2, 4), np.float32)})
-    assert x["v"].shape == (2, 4)
+    x = shard_batch(mesh, {"v": np.zeros((bs, 4), np.float32)})
+    assert x["v"].shape == (bs, 4)

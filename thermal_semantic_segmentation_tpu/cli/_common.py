@@ -196,3 +196,18 @@ def apply_model_meta(args, meta) -> None:
         if old is not None and as_cmp(old) != as_cmp(new):
             print(f"checkpoint meta overrides --{key}: {old} -> {new}")
         setattr(args, key, new)
+
+
+def maybe_data_parallel(args, variables, batch_size: int, verb: str):
+    """(mesh, variables): honor --data_parallel for an offline inference CLI.
+
+    Meshes over THIS process's chips (parallel/mesh.local_data_mesh — no
+    cross-host collectives; an indivisible ``batch_size`` shrinks the mesh
+    with a warning) and replicates the params onto it. Returns
+    ``(None, variables)`` untouched when the flag is off."""
+    if not getattr(args, "data_parallel", False):
+        return None, variables
+    from ..parallel.mesh import local_data_mesh, replicate
+    mesh = local_data_mesh(batch_size=batch_size)
+    print(f"{verb} data-parallel over {mesh.size} devices")
+    return mesh, replicate(mesh, variables)

@@ -46,12 +46,9 @@ def calc_prototype(args):
     apply_model_meta(args, meta)
     model, _ = build_deeplab(args, abstract=True)
 
-    mesh = None
-    if getattr(args, "data_parallel", False):
-        from ..parallel.mesh import local_data_mesh, replicate
-        mesh = local_data_mesh(batch_size=args.batch_size)
-        variables = replicate(mesh, variables)
-        print(f"computing prototypes data-parallel over {mesh.size} devices")
+    from ._common import maybe_data_parallel
+    mesh, variables = maybe_data_parallel(args, variables, args.batch_size,
+                                          "computing prototypes")
 
     prototypes, counts = calc_prototypes(model, variables, loader,
                                          num_classes=args.num_classes,

@@ -32,12 +32,9 @@ def main(argv=None):
                         drop_last=False, shard=host_shard(),
                         shard_lockstep=False)
 
-    mesh = None
-    if getattr(args, "data_parallel", False):
-        from ..parallel.mesh import local_data_mesh, replicate
-        mesh = local_data_mesh(batch_size=args.batch_size)
-        variables = replicate(mesh, variables)
-        print(f"generating data-parallel over {mesh.size} devices")
+    from ._common import maybe_data_parallel
+    mesh, variables = maybe_data_parallel(args, variables, args.batch_size,
+                                          "generating")
 
     save_path = os.path.join(args.root, "pseudo_labels", args.pseudo_type,
                              args.checkpoint_name.replace(".pth", ""))

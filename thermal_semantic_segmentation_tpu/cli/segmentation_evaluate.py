@@ -49,12 +49,9 @@ def seg_evaluation(args):
         if args.generator_type == "t2s":
             save_root = f"predictions/t2s/{args.checkpoint_name.replace('.pth', '')}"
 
-    mesh = None
-    if getattr(args, "data_parallel", False):
-        from ..parallel.mesh import local_data_mesh, replicate
-        mesh = local_data_mesh(batch_size=args.val_batch_size)
-        variables = replicate(mesh, variables)
-        print(f"evaluating data-parallel over {mesh.size} devices")
+    from ._common import maybe_data_parallel
+    mesh, variables = maybe_data_parallel(args, variables,
+                                          args.val_batch_size, "evaluating")
 
     mean_iu, avg_loss, class_iou = seg_validate(
         model, variables, loader, num_classes=args.num_classes,

@@ -22,7 +22,7 @@ from ..data import transforms as T
 from ..data.cityscapes import Cityscapes
 from ..data.freiburg import Freiburg
 from ..data.loader import DataLoader
-from ..ops.batching import pad_rows
+from ..ops.batching import pad_batch_dicts
 from .options import translation_parse
 
 
@@ -84,29 +84,19 @@ def translate(args):
     # encode/save off-thread so the next device batch overlaps host PNG
     # work (SURVEY §7: overlap device compute with async host writes);
     # in-flight futures are bounded so decoded batches don't pile up in RAM
-    mesh = None
-    if getattr(args, "data_parallel", False):
-        from ..parallel.mesh import local_data_mesh, replicate
-        mesh = local_data_mesh(batch_size=args.batch_size)
-        variables = replicate(mesh, variables)
-        print(f"translating data-parallel over {mesh.size} devices")
+    from ._common import maybe_data_parallel
+    mesh, variables = maybe_data_parallel(args, variables, args.batch_size,
+                                          "translating")
 
-    def _padded(batches):
-        # pad the tail batch on HOST so the jitted generator keeps ONE
-        # compiled shape (and a sharded transfer ships one shape); only
-        # the real rows are written below
-        for b in batches:
-            image = b["image"]
-            real_bs = image.shape[0]
-            image = pad_rows(image, args.batch_size)
-            yield {"image": image, "img_path": b.get("img_path"),
-                   "real_bs": real_bs}
+    # pad the tail batch on HOST so the jitted generator keeps ONE compiled
+    # shape (and a sharded transfer ships one shape); only real rows written
+    padded = pad_batch_dicts(iter(loader), args.batch_size, {"image": 0.0},
+                             keep=("img_path",))
 
     import concurrent.futures as cf
     pool = cf.ThreadPoolExecutor(max_workers=2)
     futures = []
-    for batch in device_prefetch(_padded(iter(loader)), mesh,
-                                 wire=resolve_wire(args)):
+    for batch in device_prefetch(padded, mesh, wire=resolve_wire(args)):
         # datasets in translation mode return the destination path per image
         paths = batch.get("img_path")
         image = jnp.asarray(batch["image"])

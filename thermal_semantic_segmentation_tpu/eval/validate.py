@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..data.palette import colorize_prediction, freiburg_palette
-from ..ops.batching import pad_rows
+from ..ops.batching import pad_batch_dicts
 from ..train.seg import build_seg_eval_step
 from .metrics import SegScores, scores_from_hist
 
@@ -58,19 +58,9 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
     n_seen = 0
     palette = freiburg_palette()
 
-    def _padded(batches):
-        # pad on HOST so the (sharded) transfer ships one fixed shape; the
-        # real row count rides along as a plain int (stays host-side)
-        for b in batches:
-            image, label = b["image"], b["label"]
-            real_bs = image.shape[0]
-            if pad_to_batch is not None and real_bs < pad_to_batch:
-                image = pad_rows(image, pad_to_batch)
-                label = pad_rows(label, pad_to_batch, fill=ignore_index)
-            yield {"image": image, "label": label, "real_bs": real_bs}
-
-    for i, batch in enumerate(device_prefetch(_padded(iter(loader)), mesh,
-                                              wire=wire)):
+    padded = pad_batch_dicts(iter(loader), pad_to_batch,
+                             {"image": 0.0, "label": ignore_index})
+    for i, batch in enumerate(device_prefetch(padded, mesh, wire=wire)):
         image = jnp.asarray(batch["image"])
         label = jnp.asarray(batch["label"])
         real_bs = batch["real_bs"]

@@ -40,13 +40,15 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = D
     host), the mesh shrinks to the largest device count that divides the
     batch — with a loud warning, since the dropped chips idle — instead of
     letting ``shard_batch`` die later in an opaque XLA sharding error.
-    Multi-host processes never shrink (every host must contribute its
-    devices to the mesh); they get the clear error up front instead."""
+    A mesh that SPANS processes never shrinks (every host must contribute
+    its devices or the collectives desync); those get the clear error up
+    front. Process-local meshes (``local_data_mesh``) shrink normally even
+    on multi-host jobs — they form no cross-host collectives."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if batch_size is not None and n > 1 and batch_size % n:
-        if jax.process_count() > 1:
+        if len({d.process_index for d in devices}) > 1:
             raise ValueError(
                 f"global batch {batch_size} does not divide over the "
                 f"{n}-device multi-host mesh; pick a batch size that is a "
@@ -55,7 +57,7 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = D
         import warnings
         warnings.warn(
             f"global batch {batch_size} does not divide over {n} devices; "
-            f"training on {keep} device(s) and leaving {n - keep} idle — "
+            f"using {keep} device(s) and leaving {n - keep} idle — "
             f"use a batch size that is a multiple of {n} to engage every "
             f"chip", stacklevel=2)
         devices = list(devices)[:keep]

@@ -47,9 +47,22 @@ def calc_prototypes(model, variables, loader, *, num_classes: int = 13,
     step = make_prototype_step(model, num_classes=num_classes, feat_dim=feat_dim)
     prototypes = jnp.zeros((num_classes, feat_dim), jnp.float32)
     counts = jnp.zeros((num_classes,), jnp.float32)
+
+    def _checked(batches):
+        # fail with a clear message instead of the opaque XLA divisibility
+        # error the sharded transfer would raise mid-run
+        for b in batches:
+            if mesh is not None and b["image"].shape[0] % mesh.size:
+                raise ValueError(
+                    f"sharded prototype computation needs batches divisible "
+                    f"by the {mesh.size}-device mesh; got "
+                    f"{b['image'].shape[0]} (use drop_last=True with a "
+                    f"divisible batch size)")
+            yield b
+
     for epoch in range(epochs):
-        for i, batch in enumerate(device_prefetch(iter(loader), mesh,
-                                                  wire=wire)):
+        for i, batch in enumerate(device_prefetch(_checked(iter(loader)),
+                                                  mesh, wire=wire)):
             if max_steps and i >= max_steps:
                 break
             prototypes, counts = step(variables, prototypes, counts,

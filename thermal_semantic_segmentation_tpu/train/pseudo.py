@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.palette import colorize_prediction, freiburg_palette
-from ..ops.batching import pad_rows
+from ..ops.batching import pad_batch_dicts
 from ..ops.resize import resize_bilinear
 
 
@@ -102,21 +102,12 @@ def generate_pseudo_labels(model, variables, loader, *, save_path: str,
             f"sharded pseudo-gen needs pad_to_batch (got {pad_to_batch}) "
             f"divisible by the {mesh.size}-device mesh")
 
-    def _padded(batches):
-        # pad on HOST so every (possibly sharded) transfer ships one shape
-        for b in batches:
-            images = b["image"]
-            real_bs = images.shape[0]
-            if pad_to_batch is not None:
-                images = pad_rows(images, pad_to_batch)
-            yield {"image": images, "img_path": b["img_path"],
-                   "real_bs": real_bs}
-
+    padded = pad_batch_dicts(iter(loader), pad_to_batch, {"image": 0.0},
+                             keep=("img_path",))
     n_written = 0
     with cf.ThreadPoolExecutor(max_workers=writer_threads) as pool:
         futures = []
-        for i, batch in enumerate(device_prefetch(_padded(iter(loader)),
-                                                  mesh, wire=wire)):
+        for i, batch in enumerate(device_prefetch(padded, mesh, wire=wire)):
             if max_steps and i >= max_steps:
                 break
             images = jnp.asarray(batch["image"])
