@@ -34,6 +34,16 @@ def seg_main(args, logger, shutdown=None):
     from ..utils.preempt import NullShutdown
     shutdown = shutdown if shutdown is not None else NullShutdown()
     mesh = make_mesh(batch_size=args.batch_size)
+    # --data_parallel additionally shards the VALIDATION loops over the
+    # training mesh (one extra eval compile); training always shards.
+    val_mesh = None
+    if getattr(args, "data_parallel", False):
+        if args.val_batch_size % mesh.size == 0:
+            val_mesh = mesh
+        else:
+            print(f"val_batch_size {args.val_batch_size} does not divide "
+                  f"the {mesh.size}-device mesh; validation stays "
+                  f"single-device")
     device_aug = getattr(args, "device_aug", False)
     if device_aug:
         # host pipeline only decodes full-res frames; crop/flip run on device
@@ -144,7 +154,8 @@ def seg_main(args, logger, shutdown=None):
         mean_iu, val_loss, class_iou = seg_validate(
             model, state.variables, val_loader, num_classes=args.num_classes,
             ignore_index=args.ignore_index, eval_step=eval_step,
-            pad_to_batch=args.val_batch_size, wire=resolve_wire(args))
+            pad_to_batch=args.val_batch_size, wire=resolve_wire(args),
+            mesh=val_mesh)
         scale = scheduler.step(val_loss)
         state = state.replace(lr_scale=jnp.asarray(scale, jnp.float32))
 
@@ -166,7 +177,8 @@ def seg_main(args, logger, shutdown=None):
         mean_iu, val_loss, class_iou = seg_validate(
             model, state.variables, target_val_loader, num_classes=13,
             ignore_index=args.ignore_index, eval_step=eval_step,
-            pad_to_batch=args.val_batch_size, wire=resolve_wire(args))
+            pad_to_batch=args.val_batch_size, wire=resolve_wire(args),
+            mesh=val_mesh)
         line = "target test dataset mean iou score: " + str(mean_iu)
         logger.info(line); print(line)
         for k, v in class_iou.items():

@@ -92,6 +92,9 @@ def self_train_main(args, logger, shutdown=None):
 
     from ..parallel.mesh import make_mesh, replicate
     mesh = make_mesh(batch_size=args.batch_size)
+    # --data_parallel additionally shards the validation loop over the
+    # training mesh (pad_to_batch == batch_size always divides it)
+    val_mesh = mesh if getattr(args, "data_parallel", False) else None
     state = replicate(mesh, create_self_train_state(
         model, variables, prototypes=prototypes, learning_rate=args.lr,
         num_classes=args.num_classes))
@@ -165,7 +168,7 @@ def self_train_main(args, logger, shutdown=None):
                     model, state.variables, val_loader,
                     num_classes=args.num_classes,
                     ignore_index=args.ignore_index, eval_step=eval_step,
-                    pad_to_batch=args.batch_size, wire=wire,
+                    pad_to_batch=args.batch_size, wire=wire, mesh=val_mesh,
                     visualize=args.visualize_prediction,
                     save_root=os.path.join(args.root, "predictions",
                                            args.new_checkpoint_name.replace(".pth", "")),
