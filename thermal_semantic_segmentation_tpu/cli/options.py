@@ -100,10 +100,12 @@ def _add_roots(parser: argparse.ArgumentParser):
                              'gate and smoke recipes.')
     parser.add_argument('--data_parallel', type=str2bool, default=False,
                         help='shard inference batches over ALL visible chips '
-                             '(offline eval/pseudo-label/translator and the '
-                             'serve CLI; batch sizes that do not divide the '
-                             'chip count shrink the mesh with a warning). '
-                             'Trainers always train data-parallel.')
+                             '(offline eval/pseudo-label/translator/'
+                             'prototypes and the serve CLI; batch sizes that '
+                             'do not divide the chip count shrink the mesh '
+                             'with a warning). Trainers always TRAIN '
+                             'data-parallel; this flag additionally shards '
+                             'their validation loops.')
     parser.add_argument('--seed', type=int, default=0)
 
 
