@@ -400,3 +400,86 @@ def test_serve_from_artifact_rejects_mismatched_fixed_batch(tmp_path, tiny):
                               bf16=False, normalize=[0.5], denormalize=[0.5])
     with pytest.raises(SystemExit, match="fixed batch"):
         _server_from_artifact(args)
+
+
+def test_serve_from_artifact_data_parallel(tmp_path, tiny):
+    """A symbolic-batch artifact served over the CPU mesh: the exported
+    single-device program is shard_map'd so each chip runs its batch
+    shard; results must equal the direct forward (cli/serve.py
+    _server_from_artifact mesh=)."""
+    import argparse
+
+    from thermal_semantic_segmentation_tpu.cli.serve import (
+        _server_from_artifact, preprocess)
+    from thermal_semantic_segmentation_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    model, variables = tiny
+    exported = export_seg_forward(model, variables, label_hw=HW,
+                                  batch=None, platforms=("cpu",))
+    path = str(tmp_path / "m.stablehlo")
+    save_exported(exported, path, meta={"output_kind": "ids", "channels": 1})
+
+    mesh = make_mesh()
+    args = argparse.Namespace(artifact=path, batch_size=mesh.size,
+                              max_wait_ms=20, bf16=False,
+                              normalize=[0.5], denormalize=[0.5])
+    server, _ = _server_from_artifact(args, mesh=mesh)
+    server.warmup()
+    server.start()
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+        import io
+
+        from PIL import Image
+
+        rng = np.random.default_rng(11)
+        payloads = []
+        for _ in range(mesh.size):
+            u16 = rng.integers(21000, 26000, (40, 120)).astype(np.uint16)
+            buf = io.BytesIO()
+            Image.fromarray(u16).save(buf, format="PNG")
+            payloads.append(buf.getvalue())
+        with ThreadPoolExecutor(mesh.size) as pool:
+            preds = list(pool.map(server.segment, payloads))
+        batch = np.stack([preprocess(p, HW, 1) for p in payloads])
+        ref = _direct_ids(model, variables, batch)
+        for p, r in zip(preds, ref):
+            np.testing.assert_array_equal(p, r)
+    finally:
+        server.stop()
+
+    # a fixed-batch artifact cannot split across chips: clear error
+    fixed = export_seg_forward(model, variables, label_hw=HW,
+                               batch=mesh.size, platforms=("cpu",))
+    fpath = str(tmp_path / "fixed.stablehlo")
+    save_exported(fixed, fpath, meta={"output_kind": "ids", "channels": 1})
+    args = argparse.Namespace(artifact=fpath, batch_size=mesh.size,
+                              max_wait_ms=20, bf16=False,
+                              normalize=[0.5], denormalize=[0.5])
+    with pytest.raises(SystemExit, match="symbolic batch"):
+        _server_from_artifact(args, mesh=mesh)
+
+
+def test_bound_container_survives_repeated_traces(tmp_path, tiny):
+    """The int8 container's bound call must be re-traceable: caching a
+    device_put issued INSIDE a trace cached tracers and crashed any later
+    jit/shard_map of the same artifact with UnexpectedTracerError
+    (core/stablehlo.py _BoundExported.call)."""
+    model, variables = tiny
+    art = export_seg_forward(model, variables, label_hw=HW, batch=None,
+                             platforms=("cpu",), quantize="int8")
+    path = str(tmp_path / "q.stablehlo")
+    save_exported(art, path)
+    loaded = load_exported(path)
+    x = np.random.default_rng(0).uniform(0, 1, (2, *HW, 1)).astype(np.float32)
+    a = np.asarray(jax.jit(lambda im: loaded.call(im))(x))  # trace 1
+    b = np.asarray(jax.jit(lambda im: loaded.call(im))(x))  # trace 2
+    np.testing.assert_array_equal(a, b)
+    # eager call still transfers once and releases the host copy
+    c = np.asarray(loaded.call(x))
+    np.testing.assert_array_equal(a, c)
+    assert loaded._leaves is None and loaded._device_leaves is not None
+    d = np.asarray(jax.jit(lambda im: loaded.call(im))(x))  # trace 3, cached leaves
+    np.testing.assert_array_equal(a, d)

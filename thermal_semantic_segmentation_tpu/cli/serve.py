@@ -604,18 +604,24 @@ def serve_parse():
                         help="micro-batching latency budget after the first "
                              "request of a batch arrives.")
     # --data_parallel comes from the shared _add_roots block: shards each
-    # coalesced batch over all chips (checkpoint kinds only — StableHLO
-    # artifacts are compiled single-device programs).
+    # coalesced batch over all chips (symbolic-batch artifacts are
+    # shard_map'd; fixed-batch artifacts need a dynamic re-export).
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8756)
     _add_roots(parser)
     return parser
 
 
-def _server_from_artifact(args):
+def _server_from_artifact(args, mesh=None):
     """Serve a StableHLO artifact (cli/export_stablehlo.py) directly: no
     model code or checkpoint needed — the weights live inside the blob.
-    The sidecar's ``output_kind`` selects the endpoint surface."""
+    The sidecar's ``output_kind`` selects the endpoint surface.
+
+    ``mesh``: data-parallel artifact serving. The exported program is a
+    single-device computation, so it is shard_map'd over the mesh's data
+    axis — every chip runs the blob on its batch shard (bit-identical to
+    the unsharded call; tested). Needs a symbolic-batch artifact (the
+    per-chip batch is batch_size/n_chips)."""
     import jax
     import jax.numpy as jnp
 
@@ -636,6 +642,17 @@ def _server_from_artifact(args):
     # warmup runs through the same feed, so a mismatch dies at startup)
     wire_bf16 = spec.get("dtype") == "bfloat16"
     call = exported.call
+    if mesh is not None and mesh.size > 1:
+        if batch_dim != "b":
+            raise SystemExit(
+                "--data_parallel artifact serving needs a symbolic batch "
+                "(each chip runs batch_size/n_chips) — re-export with "
+                "--batch dynamic")
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+        call = jax.shard_map(call, mesh=mesh,
+                             in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS))
     kind = sidecar.get("output_kind", "ids")
     if kind == "ids":
         predict = jax.jit(lambda variables, images: call(images))
@@ -643,7 +660,7 @@ def _server_from_artifact(args):
             None, {}, batch_size=args.batch_size,
             max_wait_ms=args.max_wait_ms, label_hw=hw,
             wire_bf16=wire_bf16, channels=channels,
-            predict_fn=predict)
+            predict_fn=predict, mesh=mesh)
         return server, {}
     if kind == "translation":
         denorm = np.asarray(args.denormalize, np.float32)
@@ -662,7 +679,7 @@ def _server_from_artifact(args):
             None, {}, batch_size=args.batch_size,
             max_wait_ms=args.max_wait_ms, label_hw=hw,
             wire_bf16=wire_bf16, channels=channels,
-            predict_fn=predict, preprocess_fn=pre)
+            predict_fn=predict, preprocess_fn=pre, mesh=mesh)
         return server, dict(encode=encode,
                             endpoints=("/translate", "/translate_stream"),
                             formats=("palette", "png"))
@@ -677,15 +694,11 @@ def main(argv=None):
     handler_kw = {}
     mesh = None
     if getattr(args, "data_parallel", False):
-        if getattr(args, "artifact", ""):
-            raise SystemExit(
-                "--data_parallel serves checkpoints; StableHLO artifacts "
-                "are single-device programs (re-serve from the checkpoint)")
         from ..parallel.mesh import local_data_mesh
         mesh = local_data_mesh(batch_size=args.batch_size)
         print(f"data-parallel serving over {mesh.size} devices", flush=True)
     if getattr(args, "artifact", ""):
-        server, handler_kw = _server_from_artifact(args)
+        server, handler_kw = _server_from_artifact(args, mesh=mesh)
     elif args.kind == "seg":
         from ._common import (apply_model_meta, build_deeplab,
                               load_seg_checkpoint)

@@ -161,13 +161,20 @@ class _BoundExported:
         self.out_avals = exported.out_avals
 
     def call(self, images):
-        if self._device_leaves is None:
-            import jax
+        import jax
 
-            # one transfer, then device-resident across calls; drop the
-            # host copy (~120 MB of f32 for a DeepLab) once transferred
-            self._device_leaves = jax.device_put(self._leaves)
-            self._leaves = None
+        if self._device_leaves is not None:
+            return self._exported.call(images, self._device_leaves)
+        if isinstance(images, jax.core.Tracer):
+            # called under a trace (jit / shard_map): bind the HOST leaves —
+            # they embed as constants of that program. Caching a device_put
+            # issued here would cache tracers of this trace and crash any
+            # later trace with UnexpectedTracerError.
+            return self._exported.call(images, self._leaves)
+        # eager call: one transfer, then device-resident across calls; drop
+        # the host copy (~120 MB of f32 for a DeepLab) once transferred
+        self._device_leaves = jax.device_put(self._leaves)
+        self._leaves = None
         return self._exported.call(images, self._device_leaves)
 
 
