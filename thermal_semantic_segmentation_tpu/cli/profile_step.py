@@ -1,0 +1,218 @@
+"""Profile a jitted step and print the device-time breakdown.
+
+Automates the recipe every perf chapter in docs/PERFORMANCE.md was written
+with: run WARMUP + N steps of a chosen step under ``jax.profiler``, parse
+the trace, and aggregate device-side events by HLO category and by op —
+the numbers that tell you whether you are conv-bound, copy-bound, or
+host-bound (the reference has no profiling tooling at all; its closest
+counterpart is wall-clock prints in train.py).
+
+    python -m thermal_semantic_segmentation_tpu.cli.profile_step \
+        --step seg --batch_size 8 --steps 20
+
+Prints a per-category table plus ONE final JSON line (machine-readable:
+total device ms/step and the category split). Works on the real chip and
+on CPU (TSS_PLATFORM=cpu) — the trace layout is the same.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import tempfile
+from collections import defaultdict
+
+
+def _aggregate_trace(logdir: str):
+    """Parse the profiler dump: {pid_name: {event_name: total_us}}.
+
+    The trace is Chrome-format JSON (one .trace.json.gz under
+    plugins/profile/<run>/): ``M``etadata events name the pids; ``X``
+    (complete) events carry per-op durations. Device pids are the ones
+    whose name contains '/device:' (TPU and CPU backends both)."""
+    paths = glob.glob(os.path.join(logdir, "plugins", "profile", "*",
+                                   "*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {logdir}")
+    with gzip.open(paths[0], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    device_pids = {p for p, n in pid_names.items() if "/device:" in n
+                   and "Host" not in n}
+    if not device_pids:
+        # CPU backend: everything (XLA op events included) rides the single
+        # '/host:CPU' pid — aggregate it all and say so
+        device_pids = {e["pid"] for e in events if e.get("ph") == "X"}
+        print("note: no '/device:' pid in this trace (CPU backend); "
+              "aggregating host+device events together")
+    per_op = defaultdict(float)
+    per_cat = defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        dur = float(e.get("dur", 0.0))  # microseconds
+        per_op[e.get("name", "?")] += dur
+        args = e.get("args") or {}
+        cat = (args.get("hlo_category") or args.get("tf_op")
+               or e.get("cat") or "uncategorized")
+        per_cat[str(cat)] += dur
+    return per_op, per_cat
+
+
+def _build(step_kind: str, args):
+    """(run_once, sync) for the requested step at the requested shapes."""
+    if step_kind not in ("seg", "eval", "gan"):
+        raise SystemExit(f"unknown --step {step_kind!r} (seg | eval | gan)")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    hw = tuple(args.image_size)
+    if step_kind == "seg":
+        from ..models.deeplab import create_deeplab
+        from ..train.seg import create_seg_state, make_seg_train_step
+
+        model, variables = create_deeplab(
+            jax.random.key(0), num_classes=args.num_classes, num_channels=1,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32, image_size=hw,
+            layers=tuple(args.layers))
+        state = create_seg_state(model, variables, learning_rate=1e-4)
+        step = make_seg_train_step(ignore_index=12, label_hw=hw, base_lr=1e-4)
+        image = jnp.asarray(rng.uniform(0, 1, (args.batch_size, *hw, 1))
+                            .astype(np.float32))
+        label = jnp.asarray(rng.integers(0, args.num_classes,
+                                         (args.batch_size, *hw)))
+        box = {"state": state}
+
+        def run():
+            box["state"], loss = step(box["state"], image, label)
+            return loss
+        return run
+    if step_kind == "eval":
+        from ..models.deeplab import create_deeplab
+        from ..train.seg import build_seg_eval_step
+
+        model, variables = create_deeplab(
+            jax.random.key(0), num_classes=args.num_classes, num_channels=1,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32, image_size=hw,
+            layers=tuple(args.layers))
+        eval_step = build_seg_eval_step(model, num_classes=args.num_classes,
+                                       ignore_index=12, label_hw=hw)
+        image = jnp.asarray(rng.uniform(0, 1, (args.batch_size, *hw, 1))
+                            .astype(np.float32))
+        label = jnp.asarray(rng.integers(0, args.num_classes,
+                                         (args.batch_size, *hw)))
+
+        def run():
+            hist, loss, _ = eval_step(variables, image, label)
+            return loss
+        return run
+    if step_kind == "gan":
+        from ..models.factory import init_gan_net, patchgan, unet_256
+        from ..train.gan import create_gan_state, make_fused_gan_step
+
+        key = jax.random.key(0)
+        g = unet_256(ngf=args.ngf, input_nc=3, output_nc=1)
+        d = patchgan(ndf=args.ngf)
+        state = create_gan_state(
+            g_vars={"s2t": init_gan_net(g, key, (1, *hw, 3))},
+            d_vars={"t": init_gan_net(d, key, (1, *hw, 1))},
+            learning_rate=2e-4)
+        step, make_pools = make_fused_gan_step(
+            pool_size=50, g_apply={"s2t": g.apply}, d_apply={"t": d.apply},
+            cycle=False)
+        pools = make_pools({"t": (*hw, 1)}, seed=0)
+        real_s = jnp.asarray(rng.uniform(-1, 1, (args.batch_size, *hw, 3))
+                             .astype(np.float32))
+        real_t = jnp.asarray(rng.uniform(-1, 1, (args.batch_size, *hw, 1))
+                             .astype(np.float32))
+        box = {"state": state, "pools": pools}
+
+        def run():
+            box["state"], box["pools"], metrics = step(
+                box["state"], box["pools"], real_s, real_t)
+            return metrics["g_s2t"]
+        return run
+    raise SystemExit(f"unknown --step {step_kind!r} (seg | eval | gan)")
+
+
+def profile_parse():
+    import argparse
+
+    from .options import str2bool
+
+    p = argparse.ArgumentParser(description="profile a jitted step")
+    p.add_argument("--step", type=str, default="seg",
+                   choices=["seg", "eval", "gan"])
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--image_size", type=int, nargs=2, default=[256, 512])
+    p.add_argument("--layers", type=lambda s: tuple(
+        int(x) for x in s.split(",")), default=(3, 4, 23, 3))
+    p.add_argument("--num_classes", type=int, default=13)
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--bf16", type=str2bool, default=True)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--top", type=int, default=15,
+                   help="rows in the per-op table")
+    p.add_argument("--logdir", type=str, default="",
+                   help="keep the raw trace here (default: temp dir, "
+                        "deleted; point TensorBoard at it to drill in)")
+    return p
+
+
+def main(argv=None):
+    args = profile_parse().parse_args(argv)
+
+    import time
+
+    run = _build(args.step, args)
+    for _ in range(args.warmup):
+        loss = run()
+    float(loss)  # host fetch: the only trustworthy sync over axon
+
+    logdir = args.logdir or tempfile.mkdtemp(prefix="tss_profile_")
+    import jax
+    jax.profiler.start_trace(logdir)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        loss = run()
+    final = float(loss)  # sync
+    wall = time.perf_counter() - t0
+    jax.profiler.stop_trace()
+
+    per_op, per_cat = _aggregate_trace(logdir)
+    total_us = sum(per_cat.values())
+    print(f"\n{args.step} step x{args.steps} @ batch {args.batch_size} "
+          f"{tuple(args.image_size)}: wall {wall * 1e3 / args.steps:.2f} "
+          f"ms/step, device {total_us / 1e3 / args.steps:.2f} ms/step "
+          f"(loss={final:.4f})\n")
+    print(f"{'category':<40} {'ms/step':>10} {'share':>7}")
+    for cat, us in sorted(per_cat.items(), key=lambda kv: -kv[1]):
+        print(f"{cat[:40]:<40} {us / 1e3 / args.steps:>10.3f} "
+              f"{us / max(total_us, 1e-9):>6.1%}")
+    print(f"\ntop {args.top} ops:")
+    for op, us in sorted(per_op.items(), key=lambda kv: -kv[1])[:args.top]:
+        print(f"  {us / 1e3 / args.steps:>8.3f} ms  {op[:100]}")
+    if args.logdir:
+        print(f"\nraw trace kept at {logdir} (open with TensorBoard)")
+    print(json.dumps({
+        "step": args.step, "batch_size": args.batch_size,
+        "wall_ms_per_step": round(wall * 1e3 / args.steps, 3),
+        "device_ms_per_step": round(total_us / 1e3 / args.steps, 3),
+        "categories_ms_per_step": {
+            k: round(v / 1e3 / args.steps, 3)
+            for k, v in sorted(per_cat.items(), key=lambda kv: -kv[1])},
+    }))
+
+
+if __name__ == "__main__":
+    main()
