@@ -545,8 +545,11 @@ def test_mesh_data_parallel_serving():
                 for _ in range(mesh.size)]
         payloads = [_png_bytes(im) for im in imgs]
         before = srv.batches_run
-        with ThreadPoolExecutor(mesh.size) as pool:
-            preds = list(pool.map(srv.segment, payloads))
+        # enqueue everything from ONE thread before the worker's wait
+        # window closes: deterministic coalescing even on a loaded host
+        waiters = [srv.submit(preprocess(p, HW)) for p in payloads]
+        preds = [w.get(timeout=300) for w in waiters]
+        assert not any(isinstance(p, Exception) for p in preds)
         assert srv.batches_run - before < len(payloads)  # coalesced SPMD runs
         for p in preds:
             assert p.shape == HW and p.dtype == np.uint8 and p.max() < 13
