@@ -99,3 +99,17 @@ def test_every_reference_flag_is_accepted():
             if flag not in accepted:
                 missing.append(f"{key}: {flag}")
     assert not missing, f"reference flags not accepted: {missing}"
+
+
+def test_data_parallel_flag_on_every_parser():
+    """--data_parallel rides the shared _add_roots block: every CLI parser
+    (including serve's) must accept it as a real boolean."""
+    from thermal_semantic_segmentation_tpu.cli.serve import serve_parse
+
+    for factory in (train_parse, seg_parse, evaluation_parse,
+                    self_train_parse, calc_proto_parse,
+                    pseudo_generation_parse, translation_parse, serve_parse):
+        a = factory().parse_args(["--data_parallel", "true"])
+        assert a.data_parallel is True, factory
+        a = factory().parse_args([])
+        assert a.data_parallel is False, factory
