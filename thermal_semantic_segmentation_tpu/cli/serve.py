@@ -735,10 +735,13 @@ def main(argv=None):
     print("compiling...", flush=True)
     server.warmup()
     server.start()
-    info = {"checkpoint": args.checkpoint_name, "batch_size": args.batch_size,
-            "kind": args.kind, "artifact": getattr(args, "artifact", ""),
-            "bf16": bool(getattr(args, "bf16", False)),
-            "devices": mesh.size if mesh is not None else 1}
+    artifact = getattr(args, "artifact", "")
+    info = {
+        # when serving a blob the (defaulted) checkpoint flag is meaningless
+        "checkpoint": "" if artifact else args.checkpoint_name,
+        "batch_size": args.batch_size, "kind": args.kind,
+        "artifact": artifact, "bf16": bool(getattr(args, "bf16", False)),
+        "devices": mesh.size if mesh is not None else 1}
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(server, info, **handler_kw))
     print(f"serving on http://{args.host}:{args.port} "
