@@ -92,12 +92,15 @@ def test_pseudo_proto_selftrain_chain(tmp_path, monkeypatch):
                         "-epochs", "1", "-batch_size", "4", "-max_steps", "1",
                         "-net_mode", "one_channel", *common])
 
+    # --data_parallel exercises the sharded-validation wiring too (the
+    # monkeypatched 1-device mesh keeps it cheap; real sharding is covered
+    # by test_seg_train.test_validate_sharded_matches_unsharded)
     self_train_main.main(["--root", root,
                           "-new_checkpoint_name", "adapted.pth",
                           "-translation_name", "translation",
                           "--epochs", "1", "-max_steps", "1",
                           "--val_interval", "1000", "--resize", "128",
-                          "--rcrop", "128", "64",
+                          "--rcrop", "128", "64", "--data_parallel", "true",
                           "-batch_size", "4", *common])
     out = os.path.join(ckpt_dir, "lastadapted.pth")
     assert os.path.exists(out)
