@@ -67,8 +67,9 @@ def _aggregate_trace(logdir: str):
 
 def _build(step_kind: str, args):
     """(run_once, sync) for the requested step at the requested shapes."""
-    if step_kind not in ("seg", "eval", "gan"):
-        raise SystemExit(f"unknown --step {step_kind!r} (seg | eval | gan)")
+    if step_kind not in ("seg", "eval", "gan", "self_train"):
+        raise SystemExit(
+            f"unknown --step {step_kind!r} (seg | eval | gan | self_train)")
 
     import jax
     import jax.numpy as jnp
@@ -141,7 +142,51 @@ def _build(step_kind: str, args):
                 box["state"], box["pools"], real_s, real_t)
             return metrics["g_s2t"]
         return run
-    raise SystemExit(f"unknown --step {step_kind!r} (seg | eval | gan)")
+    if step_kind == "self_train":
+        from ..models.deeplab import create_deeplab
+        from ..train.self_train import (create_self_train_state,
+                                        make_self_train_step)
+
+        model, variables = create_deeplab(
+            jax.random.key(0), num_classes=args.num_classes, num_channels=1,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32, image_size=hw,
+            layers=tuple(args.layers))
+        state = create_self_train_state(
+            model, variables,
+            prototypes=rng.standard_normal((args.num_classes, 256)) * 0.1,
+            learning_rate=1e-5)
+        step = make_self_train_step(model, num_classes=args.num_classes,
+                                    ignore_index=12, base_lr=1e-5,
+                                    train_thred=0.3, label_hw=hw)
+        b = args.batch_size
+        full_hw = (hw[0] + 8, hw[1] + 24)
+        batch = dict(
+            source_image=jnp.asarray(rng.uniform(0, 1, (b, *hw, 1))
+                                     .astype(np.float32)),
+            source_label=jnp.asarray(rng.integers(0, args.num_classes,
+                                                  (b, *hw))),
+            target_image=jnp.asarray(rng.uniform(0, 1, (b, *hw, 1))
+                                     .astype(np.float32)),
+            target_image_full=jnp.asarray(
+                rng.uniform(0, 1, (b, *full_hw, 1)).astype(np.float32)),
+            target_lp_soft=jnp.asarray(
+                rng.uniform(0, 1, (b, args.num_classes, *hw))
+                .astype(np.float32)),
+            target_lp_hard=jnp.asarray(rng.integers(0, args.num_classes,
+                                                    (b, *hw))),
+            weak_params={
+                "resized_hw": jnp.asarray([[hw[0] + 4, hw[1] + 12]] * b),
+                "crop": jnp.asarray([[2, 2 + hw[0], 4, 4 + hw[1]]] * b),
+                "flip": jnp.asarray(([True, False] * b)[:b])},
+        )
+        box = {"state": state}
+
+        def run():
+            box["state"], lp, ls = step(box["state"], **batch)
+            return lp
+        return run
+    raise SystemExit(
+        f"unknown --step {step_kind!r} (seg | eval | gan | self_train)")
 
 
 def profile_parse():
@@ -151,7 +196,7 @@ def profile_parse():
 
     p = argparse.ArgumentParser(description="profile a jitted step")
     p.add_argument("--step", type=str, default="seg",
-                   choices=["seg", "eval", "gan"])
+                   choices=["seg", "eval", "gan", "self_train"])
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--image_size", type=int, nargs=2, default=[256, 512])
     p.add_argument("--layers", type=lambda s: tuple(
