@@ -145,7 +145,8 @@ def test_generate_pseudo_labels_sharded_matches(tiny, tmp_path):
     n0 = generate_pseudo_labels(model, variables, RaggedLoader(),
                                 save_path=str(tmp_path / "ref"),
                                 pad_to_batch=4)
-    mesh = make_mesh(batch_size=4)
+    with pytest.warns(UserWarning, match="does not divide"):
+        mesh = make_mesh(batch_size=4)  # 4 of the 8 CPU devices
     assert mesh.size > 1
     n1 = generate_pseudo_labels(model, replicate(mesh, variables),
                                 RaggedLoader(),
@@ -177,7 +178,8 @@ def test_calc_prototypes_sharded_matches(tiny):
     model, variables = tiny
     ref_p, ref_c = calc_prototypes(model, variables, FakeLoader(bs=4),
                                    num_classes=13)
-    mesh = make_mesh(batch_size=4)
+    with pytest.warns(UserWarning, match="does not divide"):
+        mesh = make_mesh(batch_size=4)  # 4 of the 8 CPU devices
     assert mesh.size > 1
     sh_p, sh_c = calc_prototypes(model, replicate(mesh, variables),
                                  FakeLoader(bs=4), num_classes=13, mesh=mesh)

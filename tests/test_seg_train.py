@@ -354,7 +354,8 @@ def test_validate_sharded_matches_unsharded(tiny_model):
 
     ref = seg_validate(model, variables, Loader(), num_classes=13,
                        ignore_index=12, label_hw=LABEL_HW, pad_to_batch=4)
-    mesh = make_mesh(batch_size=4)
+    with pytest.warns(UserWarning, match="does not divide"):
+        mesh = make_mesh(batch_size=4)  # 4 of the 8 CPU devices
     assert mesh.size > 1
     sh = seg_validate(model, replicate(mesh, variables), Loader(),
                       num_classes=13, ignore_index=12, label_hw=LABEL_HW,
