@@ -357,9 +357,16 @@ def test_validate_sharded_matches_unsharded(tiny_model):
     with pytest.warns(UserWarning, match="does not divide"):
         mesh = make_mesh(batch_size=4)  # 4 of the 8 CPU devices
     assert mesh.size > 1
-    sh = seg_validate(model, replicate(mesh, variables), Loader(),
-                      num_classes=13, ignore_index=12, label_hw=LABEL_HW,
-                      pad_to_batch=4, mesh=mesh)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as viz:
+        # visualize under the mesh: indexing row 0 of a sharded pred works
+        sh = seg_validate(model, replicate(mesh, variables), Loader(),
+                          num_classes=13, ignore_index=12, label_hw=LABEL_HW,
+                          pad_to_batch=4, mesh=mesh,
+                          visualize="save_one", save_root=viz)
+        import os
+        assert "0_prediction_0.png" in os.listdir(viz)
     np.testing.assert_allclose(ref[0], sh[0], rtol=1e-6)   # mean_iu
     np.testing.assert_allclose(ref[1], sh[1], rtol=1e-5)   # val_loss
     for k in ref[2]:
