@@ -1,0 +1,53 @@
+"""Doctor CLI: dataset/checkpoint sanity checks (cli/doctor.py)."""
+
+import os
+import shutil
+
+import numpy as np
+
+import jax
+
+from tests.synthetic import make_freiburg_tree
+from thermal_semantic_segmentation_tpu.cli import doctor
+from thermal_semantic_segmentation_tpu.cli._common import save_seg_checkpoint
+from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+
+
+def test_doctor_passes_on_healthy_tree(tmp_path, capsys):
+    root = make_freiburg_tree(str(tmp_path / "freiburg"), n_train=2, n_test=1,
+                              translation_name="translation")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(ckpt_dir)
+    model, variables = create_deeplab(jax.random.key(0), num_classes=13,
+                                      num_channels=1, layers=(1, 1, 1, 1))
+    save_seg_checkpoint(os.path.join(ckpt_dir, "s.pth"),
+                        jax.device_get(variables), epoch=0,
+                        layers=[1, 1, 1, 1], num_channels=1, num_classes=13)
+    rc = doctor.main(["--freiburg_root", root, "--model_root_path", ckpt_dir,
+                      "-checkpoint_name", "s.pth",
+                      "-translation_name", "translation",
+                      "--check_backend", "false"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "doctor: ok" in out
+    assert "PASS  freiburg train IR" in out
+    assert "PASS  seg checkpoint" in out
+    assert "translated source (translation)" in out
+
+
+def test_doctor_fails_on_broken_tree(tmp_path, capsys):
+    root = make_freiburg_tree(str(tmp_path / "freiburg"), n_train=2, n_test=1)
+    # the classic layout mistake: labels directory missing
+    shutil.rmtree(os.path.join(root, "train", "seq_00_day", "00",
+                               "fl_rgb_labels"))
+    rc = doctor.main(["--freiburg_root", root, "--check_backend", "false"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "doctor: FAIL" in out
+    assert "FAIL" in out
+
+
+def test_doctor_warns_on_missing_root(tmp_path, capsys):
+    rc = doctor.main(["--freiburg_root", str(tmp_path / "nope"),
+                      "--check_backend", "false"])
+    out = capsys.readouterr().out
+    assert rc == 0  # warnings only
+    assert "WARN  freiburg root" in out

@@ -1,0 +1,170 @@
+"""Environment / dataset / checkpoint sanity checker.
+
+The most common migration failures are a mislaid dataset tree (the
+reference's list-file grammar is strict: train/seq_*/NN/fl_ir_aligned +
+fl_rgb + fl_rgb_labels siblings, test/day|night/ImagesIR + .npy labels —
+/root-reference utils/misc.py freiburg_txt:236, data/freiburg_dataset.py)
+and checkpoints of the wrong schema. ``doctor`` constructs the REAL
+dataset classes and checkpoint loaders against your flags and reports
+PASS/WARN/FAIL per surface, so the error shows up here with a message
+instead of three stages into a pipeline run.
+
+    python -m thermal_semantic_segmentation_tpu.cli.doctor \
+        --freiburg_root datasets/freiburg -checkpoint_name s.pth
+
+Exit status: 0 when nothing FAILs (WARNs allowed), 1 otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+
+class _Report:
+    def __init__(self):
+        self.failed = False
+
+    def ok(self, what, detail=""):
+        print(f"  PASS  {what}" + (f" — {detail}" if detail else ""))
+
+    def warn(self, what, detail=""):
+        print(f"  WARN  {what}" + (f" — {detail}" if detail else ""))
+
+    def fail(self, what, detail=""):
+        self.failed = True
+        print(f"  FAIL  {what}" + (f" — {detail}" if detail else ""))
+
+
+def _check_backend(rep: _Report, timeout_s: int = 120):
+    """Probe the JAX backend in a SUBPROCESS (a failed in-process init can
+    wedge the runtime — docs/OPERATIONS.md backend-selection notes)."""
+    # import the package first so TSS_PLATFORM=cpu is honored in the probe
+    code = ("import thermal_semantic_segmentation_tpu, jax, json; "
+            "d = jax.devices(); "
+            "print(json.dumps({'platform': d[0].platform, 'n': len(d)}))")
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = {**os.environ}
+    env["PYTHONPATH"] = os.pathsep.join(
+        [pkg_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           timeout=timeout_s, text=True, env=env)
+    except subprocess.TimeoutExpired:
+        rep.fail("backend", f"no answer in {timeout_s}s (tunnel down? "
+                            "try TSS_PLATFORM=cpu for host-only work)")
+        return
+    if r.returncode == 0:
+        import json
+        info = json.loads(r.stdout.strip().splitlines()[-1])
+        rep.ok("backend", f"{info['n']} x {info['platform']}")
+    else:
+        tail = (r.stderr or "").strip().splitlines()[-1:] or ["?"]
+        rep.fail("backend", tail[0])
+
+
+def _check_dataset(rep: _Report, name: str, build):
+    try:
+        ds = build()
+        n = len(ds)
+        if n == 0:
+            rep.fail(name, "constructed but EMPTY (0 samples) — check the "
+                           "tree layout against docs/MIGRATION.md")
+        else:
+            # actually load one sample: catches unreadable/mislabeled files
+            ds.get(0, __import__("numpy").random.default_rng(0))
+            rep.ok(name, f"{n} samples, sample 0 loads")
+    except FileNotFoundError as e:
+        rep.fail(name, f"missing path: {e}")
+    except Exception as e:
+        rep.fail(name, f"{type(e).__name__}: {e}")
+
+
+def _check_freiburg(rep: _Report, args):
+    root = args.freiburg_root
+    if not os.path.isdir(root):
+        rep.warn("freiburg root", f"{root} does not exist — skipping "
+                                  "dataset checks (pass --freiburg_root)")
+        return
+    from ..data import transforms as T
+    from ..data.freiburg import Freiburg, FreiburgTest
+    tf = T.Compose([T.Resize((128, 64)), T.ToArray()])
+    _check_dataset(rep, "freiburg train IR", lambda: Freiburg(
+        root, "train", "IR", transforms=tf, with_label=True))
+    _check_dataset(rep, "freiburg train RGB", lambda: Freiburg(
+        root, "train", "RGB", transforms=tf, with_label=True))
+    _check_dataset(rep, "freiburg test IR", lambda: FreiburgTest(
+        root, "test", "IR", transforms=tf, with_label=True))
+    tname = getattr(args, "translation_name", "") or ""
+    if tname:
+        tdir = os.path.join(root, tname)
+        if os.path.isdir(tdir):
+            _check_dataset(rep, f"translated source ({tname})",
+                           lambda: Freiburg(root, "train", "RGB",
+                                            transforms=tf, with_label=True,
+                                            translation_name=tname))
+        else:
+            rep.warn(f"translated source ({tname})",
+                     f"{tdir} absent — run cli.translator first if the seg "
+                     "recipe expects translated frames")
+
+
+def _check_checkpoint(rep: _Report, args):
+    name = getattr(args, "checkpoint_name", "") or ""
+    if not name:
+        return
+    path = os.path.join(args.model_root_path, name)
+    if not os.path.exists(path):
+        rep.warn("seg checkpoint", f"{path} absent")
+        return
+    try:
+        from ._common import load_seg_checkpoint
+        variables, meta = load_seg_checkpoint(path)
+        import jax
+        n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+        rep.ok("seg checkpoint",
+               f"{name}: {n_params / 1e6:.1f}M params, meta "
+               f"{ {k: v for k, v in meta.items() if k != 'objective_vectors'} }")
+    except Exception as e:
+        rep.fail("seg checkpoint", f"{type(e).__name__}: {e}")
+
+
+def _check_native(rep: _Report):
+    from ..data import native_loader as nl
+    if nl.available():
+        rep.ok("native C++ IO", "libtss_io loaded")
+    else:
+        rep.warn("native C++ IO", "libtss_io.so not built — PIL fallback "
+                 "works; build with `make -C thermal_semantic_segmentation_"
+                 "tpu/native` for multi-core decode")
+
+
+def doctor_parse():
+    from .options import HostConfigParser, _add_roots, str2bool
+    p = HostConfigParser(description="environment/dataset sanity checks")
+    p.add_argument("-checkpoint_name", type=str, default="")
+    p.add_argument("-translation_name", type=str, default="")
+    p.add_argument("--check_backend", type=str2bool, default=True,
+                   help="probe jax.devices() in a subprocess (off for "
+                        "pure host-side checks)")
+    _add_roots(p)
+    return p
+
+
+def main(argv=None):
+    args = doctor_parse().parse_args(argv)
+    rep = _Report()
+    print("doctor:")
+    if args.check_backend:
+        _check_backend(rep)
+    _check_freiburg(rep, args)
+    _check_checkpoint(rep, args)
+    _check_native(rep)
+    print("doctor: FAIL" if rep.failed else "doctor: ok")
+    return 1 if rep.failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
