@@ -136,9 +136,9 @@ def _check_native(rep: _Report):
     if nl.available():
         rep.ok("native C++ IO", "libtss_io loaded")
     else:
-        rep.warn("native C++ IO", "libtss_io.so not built — PIL fallback "
-                 "works; build with `make -C thermal_semantic_segmentation_"
-                 "tpu/native` for multi-core decode")
+        rep.warn("native C++ IO", "libtss_io.so unavailable (auto-build "
+                 "needs g++ with libpng/libjpeg headers) — PIL fallback "
+                 "works; the native path wins on multi-core hosts")
 
 
 def doctor_parse():
