@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..core.schedule import ReduceLROnPlateau
 from ..data.loader import DataLoader, split_indices
 from ..eval.validate import seg_validate
-from ..parallel.mesh import host_shard, make_mesh, replicate, shard_batch
+from ..parallel.mesh import host_shard, make_mesh, replicate
 from ..train.seg import build_seg_eval_step, create_seg_state, make_seg_train_step
 from ..utils.logging import get_logger
 from ..utils.meters import AverageMeter, ProgressMeter

@@ -18,7 +18,6 @@ import numpy as np
 
 from ..core.checkpoint import load_checkpoint
 from ..core.schedule import ReduceLROnPlateau
-from ..data import transforms as T
 from ..data.freiburg import Freiburg, FreiburgTest
 from ..data.loader import DataLoader
 from ..parallel.mesh import host_shard

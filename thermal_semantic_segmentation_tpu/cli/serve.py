@@ -47,7 +47,6 @@ Stdlib only (ThreadingHTTPServer) — no web framework dependency.
 
 from __future__ import annotations
 
-import argparse
 import io
 import json
 import queue
