@@ -22,6 +22,10 @@ class HostConfigParser(argparse.ArgumentParser):
 
     def parse_args(self, *a, **kw):  # type: ignore[override]
         args = super().parse_args(*a, **kw)
+        cc = getattr(args, "compile_cache_dir", "")
+        if cc:
+            from ..core.compile_cache import enable_compile_cache
+            enable_compile_cache(None if cc == "auto" else cc)
         mb = getattr(args, "decode_cache_mb", 0.0)
         disk = getattr(args, "decode_cache_dir", None)
         if mb or disk:
@@ -106,6 +110,14 @@ def _add_roots(parser: argparse.ArgumentParser):
                              'with a warning). Trainers always TRAIN '
                              'data-parallel; this flag additionally shards '
                              'their validation loops.')
+    parser.add_argument('--compile_cache_dir', type=str, default='auto',
+                        help='persistent XLA compilation cache: a fresh '
+                             'process re-running the same jitted program '
+                             'skips XLA entirely (core/compile_cache.py; '
+                             'works through the axon tunnel). "auto" '
+                             '(default) = $TSS_COMPILE_CACHE_DIR or '
+                             '~/.cache/thermal_semantic_segmentation_tpu/'
+                             'xla; empty = off.')
     parser.add_argument('--seed', type=int, default=0)
 
 
