@@ -57,9 +57,14 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from thermal_semantic_segmentation_tpu.core.compile_cache import enable_compile_cache
 from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
 from thermal_semantic_segmentation_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from thermal_semantic_segmentation_tpu.train.seg import create_seg_state, make_seg_train_step
+
+# only compile time is affected (measured steps are post-warmup); a re-run
+# after any prior bench skips the ~minute-scale tunnel compile entirely
+enable_compile_cache()
 
 BASELINE_IMAGES_PER_SEC = 20.0
 BATCH = 8  # aligns with the 8-sublane register tiling; fastest measured
