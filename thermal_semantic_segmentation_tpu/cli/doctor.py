@@ -141,6 +141,23 @@ def _check_native(rep: _Report):
                  "works; the native path wins on multi-core hosts")
 
 
+def _check_compile_cache(rep: _Report, args):
+    cc = getattr(args, "compile_cache_dir", "")
+    if not cc:
+        rep.warn("compile cache", "disabled — every fresh process pays the "
+                 "full XLA compile (minutes for the GAN step over a "
+                 "tunneled backend)")
+        return
+    from ..core.compile_cache import default_cache_dir
+    d = default_cache_dir() if cc == "auto" else cc
+    if not os.path.isdir(d):
+        rep.ok("compile cache", f"{d} (empty — fills on first compiles)")
+        return
+    names = os.listdir(d)
+    mb = sum(os.path.getsize(os.path.join(d, n)) for n in names) / 2**20
+    rep.ok("compile cache", f"{d}: {len(names)} entries, {mb:.1f} MB")
+
+
 def doctor_parse():
     from .options import HostConfigParser, _add_roots, str2bool
     p = HostConfigParser(description="environment/dataset sanity checks")
@@ -162,6 +179,7 @@ def main(argv=None):
     _check_freiburg(rep, args)
     _check_checkpoint(rep, args)
     _check_native(rep)
+    _check_compile_cache(rep, args)
     print("doctor: FAIL" if rep.failed else "doctor: ok")
     return 1 if rep.failed else 0
 
