@@ -16,6 +16,10 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: this host has a single CPU core and the suite
 # jit-compiles dozens of training graphs — cache hits cut repeat runs by ~5x.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tss")
+# The env var keeps in-suite CLI parses (default --compile_cache_dir=auto)
+# inside the same tmp dir instead of writing to the user's real ~/.cache.
+os.environ.setdefault("TSS_COMPILE_CACHE_DIR", "/tmp/jax_cache_tss")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["TSS_COMPILE_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -19,8 +19,14 @@ from thermal_semantic_segmentation_tpu.core.compile_cache import (
 @pytest.fixture
 def restore_cache_config():
     prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     yield
     jax.config.update("jax_compilation_cache_dir", prev)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+    # drop any live cache binding to this test's tmp dir so later tests
+    # lazily re-initialize against the restored config
+    from jax.experimental.compilation_cache import compilation_cache
+    compilation_cache.reset_cache()
 
 
 def test_enable_persists_compiled_executables(tmp_path, restore_cache_config):
@@ -35,6 +41,34 @@ def test_enable_persists_compiled_executables(tmp_path, restore_cache_config):
     float(f(jnp.ones((32, 32))).sum())
     entries = os.listdir(d)
     assert any("jit_f" in e for e in entries), entries
+
+
+def test_enable_rebinds_an_already_initialized_cache(tmp_path,
+                                                     restore_cache_config):
+    """jax initializes its cache object at most once per process; without an
+    explicit reset, re-pointing jax_compilation_cache_dir mid-process keeps
+    writing entries to the FIRST directory (the round-3 order-dependent
+    flake: test_cli_chain bound the cache, then the entries test watched an
+    empty dir). enable_compile_cache must rebind the live object."""
+    d1, d2 = str(tmp_path / "one"), str(tmp_path / "two")
+    enable_compile_cache(d1, min_compile_time_secs=0.0)
+
+    @jax.jit
+    def g(x):
+        return jnp.cosh(x @ x.T) * 2.71828
+
+    float(g(jnp.ones((16, 16))).sum())
+    assert any("jit_g" in e for e in os.listdir(d1))
+
+    enable_compile_cache(d2, min_compile_time_secs=0.0)
+
+    @jax.jit
+    def h(x):
+        return jnp.sinh(x @ x.T) * 1.41421
+
+    float(h(jnp.ones((16, 16))).sum())
+    assert any("jit_h" in e for e in os.listdir(d2)), os.listdir(d2)
+    assert not any("jit_h" in e for e in os.listdir(d1))
 
 
 def test_empty_and_off_disable(restore_cache_config):

@@ -148,14 +148,30 @@ def _check_compile_cache(rep: _Report, args):
                  "full XLA compile (minutes for the GAN step over a "
                  "tunneled backend)")
         return
-    from ..core.compile_cache import default_cache_dir
+    from ..core.compile_cache import _DISABLE, default_cache_dir
     d = default_cache_dir() if cc == "auto" else cc
+    if d.strip().lower() in _DISABLE:
+        # 'auto' can resolve to disabled via TSS_COMPILE_CACHE_DIR="" etc.;
+        # report the truth instead of PASS-with-an-empty-path
+        rep.warn("compile cache", f"resolved to disabled ({d!r}) — every "
+                 "fresh process pays the full XLA compile")
+        return
     if not os.path.isdir(d):
         rep.ok("compile cache", f"{d} (empty — fills on first compiles)")
         return
-    names = os.listdir(d)
-    mb = sum(os.path.getsize(os.path.join(d, n)) for n in names) / 2**20
-    rep.ok("compile cache", f"{d}: {len(names)} entries, {mb:.1f} MB")
+    # JAX writes entries as temp files then renames: scan defensively so a
+    # concurrent compile can't vanish a name mid-stat and crash the report
+    n_entries, total = 0, 0
+    with os.scandir(d) as it:
+        for e in it:
+            try:
+                if e.is_file():
+                    n_entries += 1
+                    total += e.stat().st_size
+            except FileNotFoundError:
+                continue
+    rep.ok("compile cache", f"{d}: {n_entries} entries, "
+           f"{total / 2**20:.1f} MB")
 
 
 def doctor_parse():

@@ -25,6 +25,30 @@ from typing import Optional
 _DISABLE = ("", "none", "off", "0")
 
 
+def _rebind_live_cache(path: Optional[str]) -> None:
+    """Reset jax's module-level cache object when it is bound elsewhere.
+
+    jax initializes its persistent-cache object AT MOST ONCE per process
+    (jax._src.compilation_cache._initialize_cache): the first eligible
+    compile binds it to whatever jax_compilation_cache_dir held at that
+    moment, and every later ``jax.config.update`` of the dir is silently
+    ignored — entries keep landing in the first directory.  Chained CLIs
+    in one process (bench gates, the pytest suite) re-point the cache, so
+    whenever the requested path differs from the live binding we reset the
+    object; the next compile re-initializes it lazily from the config.
+    """
+    try:
+        from jax.experimental.compilation_cache import compilation_cache as cc
+        from jax._src import compilation_cache as cc_internal
+    except Exception:  # pragma: no cover - future jax reorganisation
+        return
+    live = getattr(cc_internal, "_cache", None)
+    if live is None:
+        return
+    if path is None or str(getattr(live, "_path", None)) != str(path):
+        cc.reset_cache()
+
+
 def default_cache_dir() -> str:
     """``$TSS_COMPILE_CACHE_DIR`` if set, else a per-user XDG cache dir."""
     env = os.environ.get("TSS_COMPILE_CACHE_DIR")
@@ -52,9 +76,11 @@ def enable_compile_cache(cache_dir: Optional[str] = None,
     cache_dir = cache_dir.strip()
     if cache_dir.lower() in _DISABLE:
         jax.config.update("jax_compilation_cache_dir", None)
+        _rebind_live_cache(None)
         return None
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_time_secs))
+    _rebind_live_cache(cache_dir)
     return cache_dir
