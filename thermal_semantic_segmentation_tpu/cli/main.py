@@ -93,7 +93,33 @@ def gan_main(args, shutdown=None):
         d_vars["s"] = init_gan_net(d_s, key, (1, 256, 512, s_nc))
 
     sem_apply = sem_vars = None
-    if args.sem_loss:
+    if args.sem_loss and getattr(args, "sem_mode", "legacy") == "module2":
+        # frozen sem nets from this repo's OWN seg trainer (module2 head):
+        # each checkpoint's meta is authoritative for layers/classes/channels
+        # (the same rule segmentation_evaluate uses), inputs ride the data
+        # pipeline's [0,1] scale. This is the native analogue of the
+        # reference's zoo-pretrained legacy nets — the gates pretrain these
+        # through segmentation_train on their synthetic trees.
+        from ..models.deeplab import create_deeplab
+        from ._common import load_seg_checkpoint
+        sem_apply, sem_vars = {}, {}
+        for name, nc_default, ckpt_flag in (
+                ("s", 3, args.sem_checkpoint_s),
+                ("t", 1, args.sem_checkpoint_t)):
+            if not ckpt_flag:
+                raise SystemExit("-sem_mode module2 requires both "
+                                 "-sem_checkpoint_s and -sem_checkpoint_t "
+                                 "(segmentation_train checkpoints)")
+            variables, meta = load_seg_checkpoint(ckpt_flag)
+            net, _ = create_deeplab(
+                key, num_classes=int(meta.get("num_classes", 13)),
+                num_channels=int(meta.get("num_channels", nc_default)),
+                layers=tuple(int(x) for x in meta.get("layers", (3, 4, 23, 3))),
+                dtype=dtype, abstract=True)
+            sem_apply[name] = net.apply
+            sem_vars[name] = variables
+            print(f"loaded frozen module2 sem net '{name}' from {ckpt_flag}")
+    elif args.sem_loss:
         # frozen legacy seg nets (main.py:80-81); the reference fetches
         # zoo-pretrained weights — here -sem_checkpoint_s/_t supply them
         # (torch legacy .pth or native), a resumed GAN checkpoint's
@@ -134,7 +160,8 @@ def gan_main(args, shutdown=None):
         grayscale_source=args.grayscale,
         canny_rgb_threshold=args.canny_rgb_threshold,
         canny_thermal_threshold=args.canny_thermal_threshold,
-        sem_apply=sem_apply)
+        sem_apply=sem_apply,
+        sem_norm=getattr(args, "sem_mode", "legacy"))
     host_pool = getattr(args, "host_pool", False)
     if host_pool:
         g_step, d_step = make_gan_steps(**step_kwargs)

@@ -157,6 +157,14 @@ def train_parse():
     parser.add_argument('-sem_checkpoint_t', type=str, default='',
                         help='pretrained 1-ch thermal legacy DeepLab weights '
                              'for the frozen thermal sem net (main.py:81).')
+    parser.add_argument('-sem_mode', type=str, default='legacy',
+                        choices=('legacy', 'module2'),
+                        help="frozen sem-net architecture: 'legacy' = the "
+                             "reference's zoo-pretrained legacy DeepLabs "
+                             "(main.py:80-81); 'module2' = this repo's own "
+                             "segmentation_train checkpoints (arch read from "
+                             "each checkpoint's meta, [0,1] input scale) — "
+                             "requires both -sem_checkpoint_s/_t.")
     parser.add_argument('-log_interval', type=int, default=10)
     parser.add_argument('-ngf', type=int, default=64,
                         help='UNet generator base width. The reference '

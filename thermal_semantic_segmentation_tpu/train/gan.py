@@ -90,17 +90,25 @@ def _gray(x: jax.Array) -> jax.Array:
     return jnp.tensordot(x, w, axes=[[-1], [0]])[..., None]
 
 
-def gan_to_seg_tensor(x: jax.Array, domain: str) -> jax.Array:
+def gan_to_seg_tensor(x: jax.Array, domain: str,
+                      mode: str = "legacy") -> jax.Array:
     """tensor_transmit (train.py:60-75): de-normalize a GAN tensor
-    (mean=std=0.5) to [0,255] and re-normalize for the legacy seg nets
-    (BGR + mean subtract for source RGB, mean subtract for target thermal)."""
+    (mean=std=0.5) for the frozen sem nets.
+
+    mode='legacy' re-normalizes for the reference's zoo-pretrained legacy
+    DeepLabs ([0,255], BGR + mean subtract for source RGB, mean subtract
+    for target thermal). mode='module2' re-normalizes for this repo's own
+    seg-trainer checkpoints, which consume the data pipeline's [0,1] scale
+    (RGB ToArray / IR radiometric window, data/freiburg.py:44-45)."""
+    if domain not in ("source", "target"):
+        raise ValueError(domain)
+    if mode == "module2":
+        return x * 0.5 + 0.5
     x = (x * 0.5 + 0.5) * 255.0
     if domain == "source":
         x = x[..., ::-1] - jnp.asarray([104.00698793, 116.66876762, 122.67891434])
-    elif domain == "target":
-        x = x - jnp.asarray([116.66876762])
     else:
-        raise ValueError(domain)
+        x = x - jnp.asarray([116.66876762])
     return x
 
 
@@ -113,6 +121,7 @@ def _make_gan_cores(*, g_apply: Dict[str, Callable], d_apply: Dict[str, Callable
                     contour_detached: bool = False,
                     sem_apply: Optional[Dict[str, Callable]] = None,
                     sem_ignore_classes: Tuple[int, ...] = (),
+                    sem_norm: str = "legacy",
                     fused_passes: bool = True):
     """Unjitted (g_core, d_core) update functions shared by the two-step and
     fused GAN trainers.
@@ -224,7 +233,7 @@ def _make_gan_cores(*, g_apply: Dict[str, Callable], d_apply: Dict[str, Callable
                 h, w = real_s.shape[1], real_s.shape[2]
                 pred_fake_t = upsample_logits(
                     sem_apply["t"](sem_vars["t"],
-                                   gan_to_seg_tensor(fake_t, "target"))["out"], h, w)
+                                   gan_to_seg_tensor(fake_t, "target", sem_norm))["out"], h, w)
                 loss_sem_s2t = semantic_consistency(
                     pred_fake_t, label_s, ignore_classes=sem_ignore_classes)
                 metrics["sem_s2t"] = loss_sem_s2t
@@ -232,10 +241,10 @@ def _make_gan_cores(*, g_apply: Dict[str, Callable], d_apply: Dict[str, Callable
                 if cycle:
                     pred_real_t = upsample_logits(
                         sem_apply["t"](sem_vars["t"],
-                                       gan_to_seg_tensor(real_t, "target"))["out"], h, w)
+                                       gan_to_seg_tensor(real_t, "target", sem_norm))["out"], h, w)
                     pred_fake_s = upsample_logits(
                         sem_apply["s"](sem_vars["s"],
-                                       gan_to_seg_tensor(outs["fake_s"], "source"))["out"], h, w)
+                                       gan_to_seg_tensor(outs["fake_s"], "source", sem_norm))["out"], h, w)
                     loss_sem_t2s = semantic_consistency(
                         pred_fake_s, jnp.argmax(pred_real_t, -1),
                         ignore_classes=sem_ignore_classes)
