@@ -74,6 +74,164 @@ def _sync(x):
     return float(jnp.sum(x))  # host fetch: the only reliable axon sync
 
 
+def _tree_fingerprint(maker, kwargs) -> str:
+    """Version stamp for a synthetic tree: hash of the generator module's
+    source plus the generation args. tests/synthetic.py changed twice during
+    round 3; a persistent gate --workdir from before either change silently
+    mixed old trees with new code and corrupted gate evidence."""
+    import hashlib
+    import os
+
+    src_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "synthetic.py")
+    with open(src_path, "rb") as f:
+        src = f.read()
+    blob = repr((maker.__name__, sorted(kwargs.items()))).encode() + src
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def ensure_tree(root, maker, *, invalidate=(), **kwargs):
+    """Generate a synthetic tree, or regenerate it when its stamped
+    fingerprint no longer matches the current generator source/args.
+
+    On mismatch the tree AND every path in ``invalidate`` (checkpoints,
+    stage .done markers, cached baselines — state derived from the old
+    tree) are wiped, so a stale persistent workdir auto-heals instead of
+    silently poisoning a gate.
+    """
+    import os
+    import shutil
+
+    manifest = os.path.join(root, "_tree_manifest.json")
+    fp = _tree_fingerprint(maker, kwargs)
+    if os.path.isdir(root):
+        old = None
+        try:
+            with open(manifest) as f:
+                old = json.load(f).get("fingerprint")
+        except OSError:
+            pass
+        if old == fp:
+            return root
+        print(f"[gate] synthetic tree at {root} is stale "
+              f"(generator or args changed: {old} != {fp}) — regenerating "
+              f"and invalidating derived state", flush=True)
+        shutil.rmtree(root)
+        for p in invalidate:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.remove(p)
+    maker(root, **kwargs)
+    with open(manifest, "w") as f:
+        json.dump({"fingerprint": fp, "maker": maker.__name__,
+                   "kwargs": {k: repr(v) for k, v in kwargs.items()}}, f)
+    return root
+
+
+def _per_class_fidelity(root, n_bands: int = 5, max_frames: int = 64):
+    """(per_class_l1, slot_map) of the translations against aligned real IR.
+
+    A global mean L1 can look fine while the narrow bands translate into
+    WRONG intensity slots — they contribute almost no mass (the round-3
+    pipeline-gate failure was invisible to the GAN gate for exactly this
+    reason). Per class k over the labeled band pixels: mean |translated -
+    real| on the [0,1] radiometric scale, and the slot the class's median
+    translated intensity actually lands in (floor(median * n_bands)).
+    A correct translation has slot_map == [0..n_bands-1].
+    """
+    import glob
+    import os
+
+    from PIL import Image
+
+    t_dir = os.path.join(root, "translation", "seq_00_day", "00", "fl_rgb")
+    base = os.path.join(root, "train", "seq_00_day", "00")
+    files = sorted(glob.glob(os.path.join(t_dir, "*.png")))[:max_frames]
+    assert files, f"no translations under {t_dir}"
+    abs_sum, cnt = np.zeros(n_bands), np.zeros(n_bands)
+    medians = [[] for _ in range(n_bands)]
+    for tp in files:
+        name = os.path.basename(tp)
+        trans = np.asarray(Image.open(tp), np.float32) / 255.0
+        ir = np.asarray(Image.open(
+            os.path.join(base, "fl_ir_aligned", name)), np.float32)
+        ir = (np.clip(ir, 21800.0, 25000.0) - 21800.0) / 3200.0
+        lab = np.asarray(Image.open(
+            os.path.join(base, "fl_rgb_labels", name)))
+        # translations are saved on the crop-visible window
+        # (data/freiburg.py COL_CROP); align IR + label the same way
+        h, w = lab.shape
+        c0, c1 = round(w * 150 / 960), round(w * 850 / 960)
+        ir, lab = ir[:, c0:c1], lab[:, c0:c1]
+        if trans.shape != ir.shape:
+            trans = np.asarray(Image.fromarray(
+                (trans * 255).astype(np.uint8)).resize(
+                    (ir.shape[1], ir.shape[0]), Image.BILINEAR),
+                np.float32) / 255.0
+        d = np.abs(trans - ir)
+        for k in range(n_bands):
+            m = lab == k
+            if m.any():
+                abs_sum[k] += d[m].sum()
+                cnt[k] += m.sum()
+                medians[k].append(float(np.median(trans[m])))
+    per_class_l1 = [round(v, 4)
+                    for v in (abs_sum / np.maximum(cnt, 1)).tolist()]
+    slot_map = [int(np.clip(np.floor(np.median(v) * n_bands), 0, n_bands - 1))
+                if v else -1 for v in medians]
+    return per_class_l1, slot_map
+
+
+def _pretrain_sem_nets(tmp, root, *, smoke: bool = False):
+    """Frozen sem nets for the GAN stage's semantic-consistency loss.
+
+    The reference pins translations with pretrained per-domain seg nets
+    (main.py:80-81): a cityscapes-pretrained RGB net and a thermal net
+    pretrained on a SEPARATE labeled thermal dataset. The synthetic
+    analogue, both through the real segmentation_train CLI:
+      sem_s — RGB module2 net on the main tree's SOURCE labels (available
+              by the adaptation problem statement);
+      sem_t — thermal module2 net on a different-seed auxiliary tree (the
+              'other labeled thermal dataset'); the gate tree's own target
+              labels stay out of training, preserving the adaptation story.
+    Returns (sem_s_path, sem_t_path).
+    """
+    import os
+
+    from tests.synthetic import make_gan_freiburg_tree
+    from thermal_semantic_segmentation_tpu.cli import segmentation_train
+
+    ckpt_dir = os.path.join(tmp, "ckpt")
+    aux_root = os.path.join(tmp, "datasets", "freiburg_semaux")
+    sem_s = os.path.join(ckpt_dir, "sem_s.pth")
+    sem_t = os.path.join(ckpt_dir, "sem_t.pth")
+    ensure_tree(aux_root, make_gan_freiburg_tree,
+                n_train=16 if smoke else 256, n_test=8, seed=12,
+                invalidate=[sem_t, sem_t + ".done"])
+    epochs_s, epochs_t = ("1", "1") if smoke else ("15", "40")
+    common = ["--model_root_path", ckpt_dir, "--layers", "1,1,1,1",
+              "--decode_cache_mb", "2048", "-batch_size", "8",
+              "-val_batch_size", "8", "-lr", "0.003", "--bf16", "true"]
+    _run_stage_once(sem_s, lambda: segmentation_train.main([
+        "-dataset", "freiburg_rgb", "-net_mode", "three_channels",
+        "-epochs", epochs_s, "-new_checkpoint_name", "sem_s.pth",
+        "--freiburg_root", root, *common]))
+    _run_stage_once(sem_t, lambda: segmentation_train.main([
+        "-dataset", "freiburg_ir", "-net_mode", "one_channel",
+        "-epochs", epochs_t, "-new_checkpoint_name", "sem_t.pth",
+        "--freiburg_root", aux_root, *common]))
+    if not smoke:
+        sem_t_miou = _evaluate_miou(
+            ["-dataset", "freiburg_ir", "-val_batch_size", "8",
+             "-checkpoint_name", "sem_t.pth", "-net_mode", "one_channel",
+             "--freiburg_root", aux_root, "--model_root_path", ckpt_dir,
+             "--layers", "1,1,1,1", "--decode_cache_mb", "2048"])
+        print(json.dumps({"stage": "sem_t_pretrain",
+                          "miou": round(sem_t_miou, 4)}), flush=True)
+    return sem_s, sem_t
+
+
 def bench_seg():
     from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
     from thermal_semantic_segmentation_tpu.train.seg import (
@@ -634,8 +792,11 @@ def bench_selftrain_gate():
     with ctx as tmp:
         root = os.path.join(tmp, "datasets", "freiburg")
         ckpt_dir = os.path.join(tmp, "ckpt")
-        if not os.path.isdir(root):
-            make_selftrain_freiburg_tree(root, n_train=256, n_test=8, seed=3)
+        ensure_tree(root, make_selftrain_freiburg_tree, n_train=256,
+                    n_test=8, seed=3,
+                    invalidate=[ckpt_dir,
+                                os.path.join(tmp, "pseudo_labels"),
+                                os.path.join(tmp, "prototypes")])
         common = ["--freiburg_root", root, "--model_root_path", ckpt_dir,
                   "--layers", "1,1,1,1", "--decode_cache_mb", "2048"]
         # pseudo-gen and self-train parsers (reference-mirrored) have no
@@ -728,13 +889,24 @@ def bench_gan_gate():
     with ctx as tmp:
         root = os.path.join(tmp, "datasets", "freiburg")
         ckpt_dir = os.path.join(tmp, "ckpt")
-        if not os.path.isdir(root):
-            make_gan_freiburg_tree(root, n_train=512, seed=5)
+        baseline_file = os.path.join(tmp, "baseline.json")
+        ensure_tree(root, make_gan_freiburg_tree, n_train=512, n_test=8,
+                    seed=5, invalidate=[ckpt_dir, baseline_file,
+                                        os.path.join(tmp, "pseudo_labels"),
+                                        os.path.join(tmp, "prototypes")])
         common = ["--freiburg_root", root, "--gan_model_root_path", ckpt_dir,
                   "--bf16", "true", "--decode_cache_mb", "4096"]
+        # the reference's translation-fidelity machinery, ON (the round-3
+        # pipeline gate proved plain adversarial+cycle losses leave the
+        # narrow classes' mapping unpinned): frozen per-domain sem nets
+        # (semantic consistency, train.py:197-206) + contour loss
+        sem_s, sem_t = _pretrain_sem_nets(tmp, root)
+        sem_flags = ["-sem_loss", "true", "-sem_mode", "module2",
+                     "-sem_checkpoint_s", sem_s, "-sem_checkpoint_t", sem_t,
+                     "-with_contour", "true"]
         train_common = ["-source_dataset", "freiburg_rgb",
                         "-target_dataset", "freiburg_ir",
-                        "-batch_size", "8", *common]
+                        "-batch_size", "8", *sem_flags, *common]
 
         def translate_and_measure(ckpt_name="g_gate.pth"):
             translator.main(["-dataset", "freiburg_rgb", "-batch_size", "8",
@@ -750,7 +922,6 @@ def bench_gan_gate():
             return float(l1), float(ssim)
 
         t0 = time.perf_counter()
-        baseline_file = os.path.join(tmp, "baseline.json")
         if os.path.exists(baseline_file):
             with open(baseline_file) as f:
                 b = json.load(f)
@@ -780,15 +951,24 @@ def bench_gan_gate():
                                "-new_checkpoint_name", "g_gate.pth",
                                *train_common])
         l1_1, ssim_1 = translate_and_measure()
+        # per-class fidelity: global L1 cannot see a narrow band translated
+        # into the wrong intensity slot (the round-3 pipeline-gate failure);
+        # every class's translation must land in its OWN slot
+        per_class_l1, slot_map = _per_class_fidelity(root)
 
+    slots_ok = slot_map == list(range(len(slot_map)))
     result = {"metric": "gan_gate_l1_ratio",
               "value": round(l1_1 / max(l1_0, 1e-9), 4), "unit": "ratio",
               "l1_baseline": round(l1_0, 4), "l1_trained": round(l1_1, 4),
               "ssim_baseline": round(ssim_0, 4),
               "ssim_trained": round(ssim_1, 4),
-              "threshold_ratio": 0.5, "passed": l1_1 <= 0.5 * l1_0,
+              "per_class_l1": per_class_l1, "slot_map": slot_map,
+              "slots_identity": slots_ok,
+              "threshold_ratio": 0.5,
+              "passed": l1_1 <= 0.5 * l1_0 and slots_ok,
               "protocol": "distance_evaluate (L1+SSIM vs aligned real IR, "
-                          "seed-42 20% val split)",
+                          "seed-42 20% val split) + per-class slot check",
+              "sem_loss": True, "with_contour": True,
               "epochs": int(epochs),
               "total_sec": round(time.perf_counter() - t0, 1)}
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -822,7 +1002,6 @@ def bench_pipeline_gate():
     """
     import contextlib
     import os
-    import shutil
     import tempfile
 
     from tests.synthetic import make_gan_freiburg_tree
@@ -854,16 +1033,20 @@ def bench_pipeline_gate():
     with ctx as tmp:
         root = os.path.join(tmp, "datasets", "freiburg")
         ckpt_dir = os.path.join(tmp, "ckpt")
-        if not os.path.isdir(root):
-            make_gan_freiburg_tree(root, n_train=n_train, n_test=8, seed=5)
-        elif not os.path.isdir(os.path.join(root, "test")):
-            # a GAN-gate workdir: add the test split, drop stale manifests
-            make_gan_freiburg_tree(root, n_train=0, n_test=8, seed=5)
-            shutil.rmtree(os.path.join(root, "image_list"),
-                          ignore_errors=True)
+        ensure_tree(root, make_gan_freiburg_tree, n_train=n_train, n_test=8,
+                    seed=5, invalidate=[ckpt_dir,
+                                        os.path.join(tmp, "baseline.json"),
+                                        os.path.join(tmp, "pseudo_labels"),
+                                        os.path.join(tmp, "prototypes")])
         common = ["--freiburg_root", root, "--model_root_path", ckpt_dir,
                   "--layers", "1,1,1,1", "--decode_cache_mb", "2048"]
         net1 = ["-net_mode", "one_channel"]
+        # the reference's own mapping-pinning machinery rides the GAN stage
+        # (see bench_gan_gate): frozen per-domain sem nets + contour loss
+        sem_s, sem_t = _pretrain_sem_nets(tmp, root, smoke=smoke)
+        sem_flags = ["-sem_loss", "true", "-sem_mode", "module2",
+                     "-sem_checkpoint_s", sem_s, "-sem_checkpoint_t", sem_t,
+                     "-with_contour", "true"]
 
         def evaluate(ckpt_name):
             return _evaluate_miou(["-dataset", "freiburg_ir",
@@ -883,6 +1066,7 @@ def bench_pipeline_gate():
                 # one CPU core; the wiring rehearsal needs a narrow net
                 # (downstream stages rebuild from the checkpoint width)
                 *(["-ngf", "8"] if smoke else []),
+                *sem_flags,
                 "--freiburg_root", root, "--gan_model_root_path", ckpt_dir,
                 "--decode_cache_mb", "4096"])
         # translations are reusable ONLY if complete (one per source frame)
@@ -904,6 +1088,18 @@ def bench_pipeline_gate():
                              "--freiburg_root", root,
                              "--gan_model_root_path", ckpt_dir,
                              "--decode_cache_mb", "4096"])
+        per_class_l1, slot_map = _per_class_fidelity(root)
+        print(json.dumps({"stage": "translation_fidelity",
+                          "per_class_l1": per_class_l1,
+                          "slot_map": slot_map}), flush=True)
+        if not smoke and slot_map != list(range(len(slot_map))):
+            # fail FAST: a scrambled mapping poisons every downstream stage
+            # (3.4 chip-hours in round 3 before the failure surfaced)
+            raise AssertionError(
+                f"pipeline gate: translation slot_map {slot_map} is not "
+                f"identity — the GAN stage did not pin the class->intensity "
+                f"mapping; fix the GAN stage before burning seg/self-train "
+                f"chip time (per_class_l1={per_class_l1})")
         _run_stage_once(
             os.path.join(ckpt_dir, "pipeline_seg.pth"),
             lambda: segmentation_train.main([
@@ -932,6 +1128,10 @@ def bench_pipeline_gate():
             "-new_checkpoint_name", "pipeline_st.pth",
             "-translation_name", "translation",
             "--lr", "0.0003", "--epochs", st_epochs, "--val_interval", "32",
+            # drift guard: round 3 measured 0.3767 -> 0.326 over the two
+            # epochs after the peak; best-ckpt keeps the peak, this keeps
+            # the chip hours
+            "--early_stop_patience", "6",
             "-batch_size", "4", *common])
         miou_final = evaluate(os.path.join(ckpt_dir, "bestpipeline_st.pth"))
 
@@ -939,6 +1139,9 @@ def bench_pipeline_gate():
     result = {"metric": "pipeline_gate_final_miou",
               "value": round(miou_final, 4), "unit": "mIoU",
               "miou_seg_on_translations": round(miou_seg, 4),
+              "translation_per_class_l1": per_class_l1,
+              "translation_slot_map": slot_map,
+              "sem_loss": True, "with_contour": True,
               "threshold": 0.75, "passed": passed,
               "protocol": "256x512, nanmean(iu[:11]), real-IR test split",
               "stages": "gan->translate->seg->pseudo->proto->selftrain->eval",

@@ -174,15 +174,23 @@ def seg_main(args, logger, shutdown=None):
             line = f"source valid set class {k}: {v}"
             logger.info(line); print(line)
 
-        mean_iu, val_loss, class_iou = seg_validate(
-            model, state.variables, target_val_loader, num_classes=13,
-            ignore_index=args.ignore_index, eval_step=eval_step,
-            pad_to_batch=args.val_batch_size, wire=resolve_wire(args),
-            mesh=val_mesh)
-        line = "target test dataset mean iou score: " + str(mean_iu)
-        logger.info(line); print(line)
-        for k, v in class_iou.items():
-            line = f"target set class {k}: {v}"
+        if args.net_mode == "one_channel":
+            mean_iu, val_loss, class_iou = seg_validate(
+                model, state.variables, target_val_loader, num_classes=13,
+                ignore_index=args.ignore_index, eval_step=eval_step,
+                pad_to_batch=args.val_batch_size, wire=resolve_wire(args),
+                mesh=val_mesh)
+            line = "target test dataset mean iou score: " + str(mean_iu)
+            logger.info(line); print(line)
+            for k, v in class_iou.items():
+                line = f"target set class {k}: {v}"
+                logger.info(line); print(line)
+        else:
+            # the target test split is 1-channel IR (FreiburgTest above); a
+            # 3-channel net (e.g. an RGB sem net pretrained for -sem_mode
+            # module2) cannot consume it — the reference only ever trains
+            # one-channel nets here so the mismatch never arose
+            line = "target test dataset skipped (net is not one_channel)"
             logger.info(line); print(line)
     return state
 

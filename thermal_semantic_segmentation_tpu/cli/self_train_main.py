@@ -125,6 +125,7 @@ def self_train_main(args, logger, shutdown=None):
             objective_vectors=np.asarray(state.prototypes),
             **model_meta(args))
 
+    stale_vals = 0  # consecutive non-improving validations (drift guard)
     for epoch in range(restart_epoch, restart_epoch + args.epochs):
         pseudo_loss = AverageMeter("pseudo_loss", ":3.4f")
         s_loss = AverageMeter("s_loss", ":3.4f")
@@ -181,10 +182,25 @@ def self_train_main(args, logger, shutdown=None):
                 state = state.replace(lr_scale=jnp.asarray(scale, jnp.float32))
                 if mean_iu > highest_mean_iu:
                     highest_mean_iu = mean_iu
+                    stale_vals = 0
                     print(f"mean iou improved to {mean_iu}! Saving...")
                     save("best", epoch)
                 else:
                     print("Model not improved.")
+                    stale_vals += 1
+                    if (args.early_stop_patience
+                            and stale_vals >= args.early_stop_patience):
+                        # self-train drifts past its peak when pseudo-label
+                        # quality is low (round-3 pipeline gate measured
+                        # 0.3767 -> 0.326 over the 2 epochs after the best
+                        # validation); best-ckpt selection keeps the peak,
+                        # early stop keeps the chip hours
+                        msg = (f"early stop: no target-mIoU improvement in "
+                               f"{stale_vals} consecutive validations "
+                               f"(best {highest_mean_iu:.4f})")
+                        print(msg); logger.info(msg)
+                        save("last", epoch)
+                        return state
             args.iter_counter += 1
         if shutdown.requested:
             # preempted mid-epoch: distinct resumable checkpoint (same
@@ -209,6 +225,12 @@ def main(argv=None):
     parser.add_argument("--initial_best_miou", type=float, default=0.0,
                         help="save threshold (the reference hardcodes 0.52, "
                              "self_train_main.py:53).")
+    parser.add_argument("--early_stop_patience", type=int, default=0,
+                        help="stop after N consecutive non-improving "
+                             "target validations (0 = off, the reference "
+                             "behavior); guards against self-train drift "
+                             "past the peak when pseudo-label quality is "
+                             "low.")
     args = parser.parse_args(argv)
     if not args.path_soft:
         args.path_soft = os.path.join(args.root, "pseudo_labels", args.pseudo_type,
