@@ -117,7 +117,9 @@ def _add_roots(parser: argparse.ArgumentParser):
                              'works through the axon tunnel). "auto" '
                              '(default) = $TSS_COMPILE_CACHE_DIR or '
                              '~/.cache/thermal_semantic_segmentation_tpu/'
-                             'xla; empty/"off"/"none"/"0" = disabled (so a '
+                             'xla-<host-fingerprint> (scoped so AOT CPU '
+                             'entries never cross machines); '
+                             'empty/"off"/"none"/"0" = disabled (so a '
                              'cache dir cannot literally be named one of '
                              'those sentinels).')
     parser.add_argument('--seed', type=int, default=0)

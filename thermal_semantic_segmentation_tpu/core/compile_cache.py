@@ -49,14 +49,40 @@ def _rebind_live_cache(path: Optional[str]) -> None:
         cc.reset_cache()
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host's CPU architecture + ISA feature flags.
+
+    XLA:CPU cache entries are AOT-compiled for the machine that wrote them;
+    executing one on a host with different ISA features can SIGILL
+    (cpu_aot_loader.cc:210 refuses with an error log). Scoping the default
+    cache dir by this fingerprint makes cross-machine reuse (shared NFS
+    homes, container image drift) structurally impossible.
+    """
+    import hashlib
+    import platform
+
+    blob = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    blob += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(blob.encode()).hexdigest()[:8]
+
+
 def default_cache_dir() -> str:
-    """``$TSS_COMPILE_CACHE_DIR`` if set, else a per-user XDG cache dir."""
+    """``$TSS_COMPILE_CACHE_DIR`` if set, else a per-user XDG cache dir
+    scoped by a host fingerprint (see :func:`_host_fingerprint`)."""
     env = os.environ.get("TSS_COMPILE_CACHE_DIR")
     if env is not None:
         return env
     base = os.environ.get("XDG_CACHE_HOME",
                           os.path.join(os.path.expanduser("~"), ".cache"))
-    return os.path.join(base, "thermal_semantic_segmentation_tpu", "xla")
+    return os.path.join(base, "thermal_semantic_segmentation_tpu",
+                        "xla-" + _host_fingerprint())
 
 
 def enable_compile_cache(cache_dir: Optional[str] = None,
