@@ -66,6 +66,28 @@ def test_canny_batch_agnostic():
         assert out.shape == (bs, 16, 16, 1)
 
 
+@pytest.mark.parametrize("channels", [1, 3])
+def test_canny_gradient_is_nan_free_on_flat_regions(channels):
+    """sqrt'(0)=inf: piecewise-constant images (every synthetic band frame,
+    tanh-saturated generator outputs) have exactly-zero Sobel magnitude over
+    flat runs, and the masked where downstream turns 0*inf into NaN — one
+    such step made the whole round-4 GAN gate go NaN within 10 iterations.
+    The contour loss backpropagates through canny_edges by design (unlike
+    the reference, whose train.py:186-189 detach makes it a constant), so
+    the backward must be finite on exactly these inputs."""
+    def loss(img):
+        return jnp.abs(canny_edges(img, threshold=1.0)).mean()
+
+    flat = jnp.full((1, 16, 32, channels), 0.3)
+    banded = jnp.concatenate([jnp.zeros((2, 16, 16, channels)),
+                              jnp.ones((2, 16, 16, channels))], axis=2)
+    for img in (flat, banded):
+        g = jax.grad(loss)(img)
+        assert not bool(jnp.isnan(g).any())
+    # and the edges themselves still fire on the band boundary
+    assert float(canny_edges(banded * 100.0, threshold=1.0).max()) > 0
+
+
 def test_unet_generator_shapes():
     model = unet_32(ngf=8, output_nc=1)
     variables = init_gan_net(model, jax.random.key(0), (1, 32, 64, 3))

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from thermal_semantic_segmentation_tpu.losses import (
@@ -36,6 +37,18 @@ def test_cross_entropy_all_ignored_is_zero():
     got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
                               ignore_index=12))
     assert got == 0.0  # torch returns nan here; we define 0 (documented)
+
+
+def test_cross_entropy_all_ignored_backward_is_nan_free():
+    """where(count>0, sum/count, 0) still backprops 0 * d(sum/0) = NaN; the
+    safe-denominator form must give exactly-zero grads on all-ignored
+    batches (an all-255 crop poisons every parameter otherwise)."""
+    logits, labels = _logits_labels()
+    labels[:] = 12
+    g = jax.grad(lambda lg: cross_entropy(lg, jnp.asarray(labels),
+                                          ignore_index=12))(jnp.asarray(logits))
+    assert not bool(jnp.isnan(g).any())
+    assert float(jnp.abs(g).max()) == 0.0
 
 
 def test_focal_loss_gamma0_equals_ce_no_ignore():

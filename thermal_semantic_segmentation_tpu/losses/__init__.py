@@ -32,8 +32,10 @@ def cross_entropy(logits: jax.Array, labels: jax.Array, *,
     onehot = jax.nn.one_hot(labels, num_classes, dtype=logp.dtype)
     nll = -jnp.sum(logp * onehot, axis=-1)
     nll = jnp.where(valid, nll, 0.0)
-    count = jnp.sum(valid)
-    return jnp.where(count > 0, jnp.sum(nll) / count, 0.0)
+    # max(count, 1): an all-ignored batch must yield 0 loss with ZERO grads —
+    # where(count > 0, sum/count, 0) still backprops 0 * d(sum/0) = NaN
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / count
 
 
 def reverse_cross_entropy(logits: jax.Array, labels: jax.Array, *,
@@ -68,8 +70,8 @@ def focal_loss(logits: jax.Array, labels: jax.Array, *, gamma: float = 0.0,
         logpt = logpt * jnp.sum(jnp.asarray(alpha) * onehot, axis=-1)
     loss = -((1.0 - pt) ** gamma) * logpt
     loss = jnp.where(valid, loss, 0.0)
-    count = jnp.sum(valid)
-    return jnp.where(count > 0, jnp.sum(loss) / count, 0.0)
+    count = jnp.maximum(jnp.sum(valid), 1)  # NaN-free backward (see cross_entropy)
+    return jnp.sum(loss) / count
 
 
 def semantic_consistency(logits: jax.Array, labels: jax.Array, *,

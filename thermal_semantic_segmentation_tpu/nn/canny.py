@@ -23,6 +23,23 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _safe_magnitude(gx: jax.Array, gy: jax.Array) -> jax.Array:
+    """sqrt(gx^2 + gy^2) with a NaN-free backward at exactly zero.
+
+    The gradient of sqrt at 0 is inf, and flat regions (ubiquitous in
+    piecewise-constant synthetic frames and in tanh-saturated generator
+    outputs) hit exactly 0 — the masking ``where``s downstream then multiply
+    a ZERO cotangent by that inf, which is NaN, and one step poisons every
+    parameter (measured: the round-4 GAN gate went all-NaN within 10 steps
+    once the contour loss started backpropagating through these edges; the
+    reference never sees this because train.py:186-189 detaches both sides).
+    Double-where keeps the forward value bit-identical and the backward 0.
+    """
+    m2 = gx * gx + gy * gy
+    pos = m2 > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, m2, 1.0)), 0.0)
+
+
 def _gaussian5(std: float = 1.0) -> np.ndarray:
     # scipy.signal.gaussian(5, std): unnormalized exp(-x^2 / (2 std^2))
     x = np.arange(5, dtype=np.float64) - 2.0
@@ -71,7 +88,7 @@ def canny_edges(img: jax.Array, *, threshold: float = 10.0) -> jax.Array:
         mags, gxs, gys = [], [], []
         for ch in range(3):
             _, gx, gy = _blur_sobel(img[..., ch:ch + 1])
-            mags.append(jnp.sqrt(gx ** 2 + gy ** 2))
+            mags.append(_safe_magnitude(gx, gy))
             gxs.append(gx)
             gys.append(gy)
         grad_mag = mags[0] + mags[1] + mags[2]
@@ -79,7 +96,7 @@ def canny_edges(img: jax.Array, *, threshold: float = 10.0) -> jax.Array:
         grad_y = gys[0] + gys[1] + gys[2]
     elif c == 1:
         _, grad_x, grad_y = _blur_sobel(img)
-        grad_mag = jnp.sqrt(grad_x ** 2 + grad_y ** 2)
+        grad_mag = _safe_magnitude(grad_x, grad_y)
     else:
         raise ValueError("Channel number does not fit.")
 
