@@ -37,6 +37,20 @@ GAN_CKPT=${GAN_CKPT:-recipe_gan.pth}
 SEG_CKPT=${SEG_CKPT:-recipe_seg.pth}
 ST_CKPT=${ST_CKPT:-recipe_st.pth}
 SKIP_GAN=${SKIP_GAN:-0}             # 1 = reuse an existing ${GAN_CKPT}
+# Translation-fidelity machinery for the GAN stage. The round-3 synthetic
+# pipeline gate FAILED (0.3767 vs 0.75) with these off: plain adversarial +
+# cycle losses leave rare-class mappings unpinned, and the error is invisible
+# to global L1. The reference built exactly these tools against that failure
+# (main.py:80-85); provide pretrained per-domain seg checkpoints to enable.
+WITH_CONTOUR=${WITH_CONTOUR:-true}  # contour loss needs no checkpoints
+SEM_S=${SEM_S:-}                    # RGB-domain seg ckpt  -> -sem_loss on
+SEM_T=${SEM_T:-}                    # thermal-domain seg ckpt
+SEM_MODE=${SEM_MODE:-module2}       # module2 (this repo's ckpts) | legacy
+GAN_FIDELITY=(-with_contour "${WITH_CONTOUR}")
+if [ -n "${SEM_S}" ] && [ -n "${SEM_T}" ]; then
+  GAN_FIDELITY+=(-sem_loss true -sem_mode "${SEM_MODE}" \
+                 -sem_checkpoint_s "${SEM_S}" -sem_checkpoint_t "${SEM_T}")
+fi
 
 run() {
   local mod=$1; shift
@@ -47,7 +61,8 @@ run() {
 if [ "${SKIP_GAN}" != "1" ]; then
   run main -source_dataset freiburg_rgb -target_dataset freiburg_ir \
       -batch_size "${BATCH}" -num_epoch "${GAN_EPOCHS}" -max_steps "${MAX_STEPS}" \
-      -checkpoint_name "${GAN_CKPT}" -new_checkpoint_name "${GAN_CKPT}"
+      -checkpoint_name "${GAN_CKPT}" -new_checkpoint_name "${GAN_CKPT}" \
+      "${GAN_FIDELITY[@]}"
 fi
 
 run translator -dataset freiburg_rgb -checkpoint_name "${GAN_CKPT}" \
