@@ -195,7 +195,9 @@ def gan_main(args, shutdown=None):
         print(f"--------EPOCH {epoch}--------")
         meters = {k: AverageMeter(k, ":3.4f")
                   for k in ("g_s2t", "g_t2s", "d_s", "d_t", "cycle_s", "cycle_t",
-                            "con_s2t", "con_t2s")}
+                            "con_s2t", "con_t2s",
+                            # displayed only when the step emits them
+                            *(("sem_s2t", "sem_t2s") if args.sem_loss else ()))}
         n_batches = min(len(src_loader), len(tgt_loader))
         progress = ProgressMeter(n_batches, list(meters.values()),
                                  prefix=f"Epoch: [{epoch}]")
