@@ -153,6 +153,13 @@ def gan_main(args, shutdown=None):
     mesh = make_mesh(batch_size=args.batch_size)
     state = replicate(mesh, create_gan_state(g_vars=g_vars, d_vars=d_vars,
                                              learning_rate=args.lr))
+    if sem_vars is not None:
+        # Device-resident ONCE: sem_vars rides into the jitted step every
+        # iteration, and a host pytree would be re-transferred per step
+        # (~244 MB for two ResNet101 nets — measured 3x step slowdown AND a
+        # ~250 MB/step host-memory leak through the transfer path: the
+        # epoch-7 OOM kill of the first fidelity-on gate run).
+        sem_vars = replicate(mesh, sem_vars)
     step_kwargs = dict(
         g_apply={k: m.apply for k, m in nets["g"].items()},
         d_apply={k: m.apply for k, m in nets["d"].items()},
