@@ -28,3 +28,12 @@ def test_profile_step_rejects_unknown():
 
     with pytest.raises(SystemExit):
         profile_step._build("nope", None)
+
+
+def test_profile_step_fidelity_flags_parse():
+    # the recipe's fidelity configuration is profileable (full execution is
+    # exercised manually — a 256x512 UNet step is minutes on the CI host)
+    args = profile_step.profile_parse().parse_args(
+        ["--step", "gan", "--gan_cycle", "true", "--with_contour", "true",
+         "--sem_loss", "true", "--ngf", "8", "--layers", "1,1,1,1"])
+    assert args.gan_cycle and args.with_contour and args.sem_loss

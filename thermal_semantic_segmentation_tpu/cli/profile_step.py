@@ -121,16 +121,45 @@ def _build(step_kind: str, args):
         from ..train.gan import create_gan_state, make_fused_gan_step
 
         key = jax.random.key(0)
+        cycle = args.gan_cycle or args.sem_loss
         g = unet_256(ngf=args.ngf, input_nc=3, output_nc=1)
         d = patchgan(ndf=args.ngf)
-        state = create_gan_state(
-            g_vars={"s2t": init_gan_net(g, key, (1, *hw, 3))},
-            d_vars={"t": init_gan_net(d, key, (1, *hw, 1))},
-            learning_rate=2e-4)
+        g_vars = {"s2t": init_gan_net(g, key, (1, *hw, 3))}
+        d_vars = {"t": init_gan_net(d, key, (1, *hw, 1))}
+        g_apply, d_apply = {"s2t": g.apply}, {"t": d.apply}
+        if cycle:
+            g_back = unet_256(ngf=args.ngf, input_nc=1, output_nc=3)
+            d_s = patchgan(ndf=args.ngf, input_nc=3)
+            g_vars["t2s"] = init_gan_net(g_back, key, (1, *hw, 1))
+            d_vars["s"] = init_gan_net(d_s, key, (1, *hw, 3))
+            g_apply["t2s"] = g_back.apply
+            d_apply["s"] = d_s.apply
+        sem_apply = sem_vars = label_s = None
+        if args.sem_loss:
+            # frozen module2 sem nets, one per domain — the recipe's
+            # fidelity configuration (cli/main.py -sem_mode module2)
+            from ..models.deeplab import create_deeplab
+            sem_apply, sem_vars = {}, {}
+            for name, nc in (("s", 3), ("t", 1)):
+                net, variables = create_deeplab(
+                    jax.random.key(1), num_classes=args.num_classes,
+                    num_channels=nc,
+                    dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                    image_size=hw, layers=tuple(args.layers))
+                sem_apply[name] = net.apply
+                sem_vars[name] = variables
+            label_s = jnp.asarray(rng.integers(0, args.num_classes,
+                                               (args.batch_size, *hw)))
+        state = create_gan_state(g_vars=g_vars, d_vars=d_vars,
+                                 learning_rate=2e-4)
         step, make_pools = make_fused_gan_step(
-            pool_size=50, g_apply={"s2t": g.apply}, d_apply={"t": d.apply},
-            cycle=False)
-        pools = make_pools({"t": (*hw, 1)}, seed=0)
+            pool_size=50, g_apply=g_apply, d_apply=d_apply, cycle=cycle,
+            with_contour=args.with_contour, sem_apply=sem_apply,
+            sem_norm="module2")
+        pool_shapes = {"t": (*hw, 1)}
+        if cycle:
+            pool_shapes["s"] = (*hw, 3)
+        pools = make_pools(pool_shapes, seed=0)
         real_s = jnp.asarray(rng.uniform(-1, 1, (args.batch_size, *hw, 3))
                              .astype(np.float32))
         real_t = jnp.asarray(rng.uniform(-1, 1, (args.batch_size, *hw, 1))
@@ -139,7 +168,9 @@ def _build(step_kind: str, args):
 
         def run():
             box["state"], box["pools"], metrics = step(
-                box["state"], box["pools"], real_s, real_t)
+                box["state"], box["pools"], real_s, real_t,
+                label_s=label_s, sem_vars=sem_vars,
+                with_sem=args.sem_loss)
             return metrics["g_s2t"]
         return run
     if step_kind == "self_train":
@@ -203,6 +234,17 @@ def profile_parse():
         int(x) for x in s.split(",")), default=(3, 4, 23, 3))
     p.add_argument("--num_classes", type=int, default=13)
     p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--gan_cycle", type=str2bool, default=False,
+                   help="profile the full CycleGAN step (both generator "
+                        "directions + both discriminators) instead of the "
+                        "one-direction step")
+    p.add_argument("--with_contour", type=str2bool, default=False,
+                   help="add the differentiable-canny contour loss to the "
+                        "profiled GAN step (the recipe's fidelity config)")
+    p.add_argument("--sem_loss", type=str2bool, default=False,
+                   help="add the semantic-consistency loss with frozen "
+                        "module2 sem nets at --layers (implies --gan_cycle); "
+                        "the recipe's fidelity config")
     p.add_argument("--bf16", type=str2bool, default=True)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
