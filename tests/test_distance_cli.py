@@ -51,6 +51,57 @@ def test_distance_evaluate_cli_near_identity(tmp_path, capsys):
     assert "Model: t_gate" in out and "L1 distance:" in out
 
 
+def test_distance_evaluate_per_class_sees_scrambled_rare_class(tmp_path, capsys):
+    """--per_class catches what the global L1 provably cannot: a rare class
+    translated into the wrong intensity range. 3% of pixels (class 1) are
+    corrupted by 0.5; the global L1 stays ~0.015 but the class-1 L1 is ~0.5."""
+    root = str(tmp_path / "freiburg")
+    rng = np.random.default_rng(0)
+    names, label_names = [], []
+    for i in range(10):
+        ir = rng.integers(IR_LO, IR_HI, size=(320, 960)).astype(np.uint16)
+        ori = os.path.join(root, "train", "seq_00_day", "00", "fl_ir_aligned",
+                           f"{i:04d}.png")
+        os.makedirs(os.path.dirname(ori), exist_ok=True)
+        Image.fromarray(ir).save(ori)
+        # label: class 1 is a narrow 10-px-wide strip (~3% of pixels)
+        lab = np.zeros((320, 960), np.uint8)
+        lab[:, 400:410] = 1
+        lab_path = os.path.join(root, "train", "seq_00_day", "00",
+                                "fl_rgb_labels", f"{i:04d}.png")
+        os.makedirs(os.path.dirname(lab_path), exist_ok=True)
+        Image.fromarray(lab, mode="L").save(lab_path)
+        # translation = near-identity EXCEPT class 1, shifted by ~0.5
+        u8 = np.round((ir[:, 150:850].astype(np.float32) - IR_LO)
+                      / (IR_HI - IR_LO) * 255.0)
+        u8[:, 250:260] = (u8[:, 250:260] + 128) % 256  # cols 400:410 - crop
+        trans = os.path.join(root, "t_gate", "seq_00_day", "00", "fl_rgb",
+                             f"{i:04d}.png")
+        os.makedirs(os.path.dirname(trans), exist_ok=True)
+        Image.fromarray(u8.astype(np.uint8), mode="L").save(trans)
+        names.append(ori)
+        label_names.append(lab_path)
+    os.makedirs(os.path.join(root, "image_list"), exist_ok=True)
+    with open(os.path.join(root, "image_list", "train_IR_data.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    with open(os.path.join(root, "image_list", "train_IR_label.txt"), "w") as f:
+        f.write("\n".join(label_names) + "\n")
+
+    l1, _ = distance_evaluate.main([
+        "-checkpoint_name", "t_gate.pth", "--freiburg_root", root,
+        "-batch_size", "2", "--per_class", "true"])
+    assert l1 < 0.05, l1  # the corruption is invisible globally
+    out = capsys.readouterr().out
+    vals = {}
+    for line in out.splitlines():
+        if line.startswith("translation per-class L1 "):
+            name, v = line[len("translation per-class L1 "):].rsplit(": ", 1)
+            vals[name] = float(v)
+    assert vals["road,parking"] < 0.01, vals          # near-identity class
+    assert vals["ground,sidewalk"] > 0.2, vals        # the scrambled class
+    assert np.isnan(vals["sky"]), vals                # absent class -> nan
+
+
 def test_near_black_translation_still_rescaled(tmp_path):
     """A uint8 frame whose every pixel is <= 1 must still be scored /255:
     a value-range heuristic alone would treat it as already-[0,1] floats."""

@@ -69,9 +69,30 @@ class DistanceDataset:
     (data/distance_dataset.py:9-49)."""
 
     def __init__(self, root: str, translate_name: str, *, split: str = "train",
-                 domain: str = "IR"):
+                 domain: str = "IR", with_label: bool = False):
         list_file = os.path.join(root, "image_list", f"{split}_{domain}_data.txt")
+        if not os.path.exists(list_file):
+            # standalone distance_evaluate runs (no upstream CLI has written
+            # the lists yet): generate them with the shared grammar
+            from .list_files import freiburg_lists
+            freiburg_lists(root, split, domain)
         self.data_list = parse_list_file(list_file)
+        self.label_list = None
+        if with_label:
+            # segmentation labels aligned with the originals (same list-file
+            # grammar as Freiburg); enables per-class translation fidelity —
+            # a global L1 cannot see a rare class translated into another
+            # class's intensity range (the reference's distance_evaluate.py
+            # has no per-class view; this failure mode was measured on the
+            # round-3 synthetic pipeline gate)
+            label_file = os.path.join(root, "image_list",
+                                      f"{split}_{domain}_label.txt")
+            if not os.path.exists(label_file):
+                from .list_files import freiburg_lists
+                freiburg_lists(root, split, domain)
+            self.label_list = parse_list_file(label_file)
+            assert len(self.label_list) == len(self.data_list), \
+                (len(self.label_list), len(self.data_list))
         self.root = root
         self.translate_name = translate_name
         self.split = split
@@ -103,4 +124,11 @@ class DistanceDataset:
             trans = trans / 255.0
         if trans.ndim == 2:
             trans = trans[..., None]
-        return {"original": ori, "translated": trans.astype(np.float32)}
+        out = {"original": ori, "translated": trans.astype(np.float32)}
+        if self.label_list is not None:
+            from .freiburg import load_label
+            # same RAW_SIZE resize + column crop as the original frame, so
+            # the mask aligns pixelwise with original/translated
+            out["label"] = np.asarray(load_label(self.label_list[index]),
+                                      dtype=np.int32)
+        return out
