@@ -40,9 +40,14 @@ def _aggregate_trace(logdir: str):
         trace = json.load(f)
     events = trace["traceEvents"]
     pid_names = {}
+    tid_names = {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
+        elif e.get("name") == "thread_name":
+            tid_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     device_pids = {p for p, n in pid_names.items() if "/device:" in n
                    and "Host" not in n}
     if not device_pids:
@@ -51,10 +56,22 @@ def _aggregate_trace(logdir: str):
         device_pids = {e["pid"] for e in events if e.get("ph") == "X"}
         print("note: no '/device:' pid in this trace (CPU backend); "
               "aggregating host+device events together")
+    # a device pid carries PARALLEL thread rows: 'XLA Ops' (the per-op
+    # events) plus per-step/'XLA Modules' umbrella spans that enclose them —
+    # summing all rows triple-counts every microsecond. Keep only the op row
+    # when it exists (CPU traces have no such split).
+    op_tids = {k for k, n in tid_names.items()
+               if k[0] in device_pids and n == "XLA Ops"}
+
+    def _keep(e):
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            return False
+        return not op_tids or (e["pid"], e.get("tid")) in op_tids
+
     per_op = defaultdict(float)
     per_cat = defaultdict(float)
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+        if not _keep(e):
             continue
         dur = float(e.get("dur", 0.0))  # microseconds
         per_op[e.get("name", "?")] += dur
