@@ -18,7 +18,15 @@ jax.config.update("jax_enable_x64", False)
 # jit-compiles dozens of training graphs — cache hits cut repeat runs by ~5x.
 # The env var keeps in-suite CLI parses (default --compile_cache_dir=auto)
 # inside the same tmp dir instead of writing to the user's real ~/.cache.
-os.environ.setdefault("TSS_COMPILE_CACHE_DIR", "/tmp/jax_cache_tss")
+# The dir is host-fingerprint-scoped like the package default: XLA:CPU cache
+# entries are AOT-compiled for the machine that wrote them, and a /tmp that
+# outlives a host/image swap would otherwise feed mismatched-ISA executables
+# back (cpu_aot_loader.cc 'could lead to SIGILL' spam, or worse).
+from thermal_semantic_segmentation_tpu.core.compile_cache import (  # noqa: E402
+    _host_fingerprint)
+
+os.environ.setdefault("TSS_COMPILE_CACHE_DIR",
+                      f"/tmp/jax_cache_tss-{_host_fingerprint()}")
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["TSS_COMPILE_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

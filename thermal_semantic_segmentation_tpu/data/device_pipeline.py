@@ -38,8 +38,12 @@ def device_prefetch(iterator: Iterable[dict], mesh=None, *, size: int = 2,
         def put_leaf(x):
             if not isinstance(x, (np.ndarray, jax.Array)):
                 return x  # strings / metadata stay on host
-            return (jax.device_put(x, sharding) if sharding is not None
-                    else jax.device_put(x))
+            if sharding is not None:
+                # process-spanning meshes assemble the global batch from
+                # each host's loader shard (parallel.mesh.put_sharded)
+                from ..parallel.mesh import put_sharded
+                return put_sharded(x, sharding)
+            return jax.device_put(x)
 
         def put(batch):
             return jax.tree.map(put_leaf, batch)

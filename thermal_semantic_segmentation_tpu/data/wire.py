@@ -180,8 +180,19 @@ class PackedFeed:
                                                width_memo=self._width_memo)
         if packed.size == 0:
             return batch
-        dev = (jax.device_put(packed, self.sharding)
-               if self.sharding is not None else jax.device_put(packed))
+        if self.sharding is not None:
+            # multi-host-correct placement: on a process-spanning mesh the
+            # packed buffer is THIS PROCESS's batch shard and the global
+            # batch is assembled across hosts (parallel.mesh.put_sharded).
+            # NOTE the jitted unpack is then a multi-process SPMD program:
+            # every host must derive the SAME spec, so int leaves whose value
+            # range could straddle a wire-width boundary differently across
+            # hosts (not the case for class labels, which always fit uint8)
+            # should not ride a packed wire on multi-host runs.
+            from ..parallel.mesh import put_sharded
+            dev = put_sharded(packed, self.sharding)
+        else:
+            dev = jax.device_put(packed)
         treedef, mask, entries = spec
         arrays = _jitted_unpack(dev, entries)
         it_a, it_h = iter(arrays), iter(host_leaves)

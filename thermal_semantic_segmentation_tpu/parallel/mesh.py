@@ -35,24 +35,35 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = D
               *, batch_size: Optional[int] = None) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices.
 
-    ``batch_size``: the global batch the mesh will shard. When it does not
-    divide over the visible devices (e.g. ``-batch_size 2`` on an 8-chip
-    host), the mesh shrinks to the largest device count that divides the
-    batch — with a loud warning, since the dropped chips idle — instead of
-    letting ``shard_batch`` die later in an opaque XLA sharding error.
-    A mesh that SPANS processes never shrinks (every host must contribute
-    its devices or the collectives desync); those get the clear error up
-    front. Process-local meshes (``local_data_mesh``) shrink normally even
-    on multi-host jobs — they form no cross-host collectives."""
+    ``batch_size``: the PER-PROCESS batch the mesh will shard (single-process
+    that is the global batch). When it does not divide over the visible
+    devices (e.g. ``-batch_size 2`` on an 8-chip host), the mesh shrinks to
+    the largest device count that divides the batch — with a loud warning,
+    since the dropped chips idle — instead of letting ``shard_batch`` die
+    later in an opaque XLA sharding error. A mesh that SPANS processes never
+    shrinks (every host must contribute its devices or the collectives
+    desync); those get a clear error up front when the per-process batch
+    does not divide the per-process device count. Process-local meshes
+    (``local_data_mesh``) shrink normally even on multi-host jobs — they
+    form no cross-host collectives."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    if batch_size is not None and n > 1 and batch_size % n:
-        if len({d.process_index for d in devices}) > 1:
+    n_proc = len({d.process_index for d in devices})
+    if n_proc > 1:
+        # multi-host: ``batch_size`` is the PER-PROCESS loader batch (each
+        # host contributes its own shard via host_shard()-sharded loaders and
+        # put_sharded assembles the nproc*batch_size global batch), so it
+        # must divide this host's device count; shrinking is impossible
+        # (every host must contribute all its devices or collectives desync)
+        local = n // n_proc
+        if batch_size is not None and batch_size % local:
             raise ValueError(
-                f"global batch {batch_size} does not divide over the "
-                f"{n}-device multi-host mesh; pick a batch size that is a "
-                f"multiple of the device count")
+                f"per-process batch {batch_size} does not divide over the "
+                f"{local} devices each of the {n_proc} processes holds; "
+                f"pick a batch size that is a multiple of {local}")
+        return Mesh(np.asarray(devices), (axis_name,))
+    if batch_size is not None and n > 1 and batch_size % n:
         keep = max(d for d in range(1, n + 1) if batch_size % d == 0)
         import warnings
         warnings.warn(
@@ -119,6 +130,31 @@ def local_data_mesh(batch_size: Optional[int] = None) -> Mesh:
     return make_mesh(jax.local_devices(), batch_size=batch_size)
 
 
+def spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh's devices belong to more than one process."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def put_sharded(x, sharding: NamedSharding):
+    """Place ONE host array under ``sharding`` with multi-host-correct
+    semantics for batch-sharded data.
+
+    Single-process (or a fully-addressable mesh): plain ``jax.device_put`` —
+    ``x`` is the whole (global) value. When the mesh SPANS processes, ``x``
+    is THIS PROCESS's shard — the slice its ``host_shard()``-sharded loader
+    produced — and the global array (leading dim = sum of the per-process
+    shards) is assembled via ``jax.make_array_from_process_local_data``.
+    ``jax.device_put`` would silently mis-scope there: it treats its input
+    as the GLOBAL value and slices each process's addressable part out of
+    it, so every host would train on a fraction of its own local batch and
+    the "global" batch would duplicate-and-drop samples.
+    """
+    if spans_processes(sharding.mesh):
+        import numpy as np
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dim; everything else replicated."""
     return NamedSharding(mesh, P(axis_name))
@@ -129,9 +165,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
-    """Place a pytree of host arrays with the batch dim sharded over the mesh."""
+    """Place a pytree of host arrays with the batch dim sharded over the mesh.
+
+    On a process-spanning mesh each process passes its LOCAL batch (what its
+    ``host_shard()``-sharded loader yielded) and the result is the assembled
+    global batch — see :func:`put_sharded`."""
     sh = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: put_sharded(x, sh), batch)
 
 
 def replicate(mesh: Mesh, tree):
