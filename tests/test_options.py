@@ -113,3 +113,48 @@ def test_data_parallel_flag_on_every_parser():
         assert a.data_parallel is True, factory
         a = factory().parse_args([])
         assert a.data_parallel is False, factory
+
+
+def test_distributed_flag_triggers_init(monkeypatch):
+    """--distributed initializes jax.distributed at parse time (before any
+    CLI main touches a device) and maps the manual-bring-up flags through;
+    the default must never initialize."""
+    from thermal_semantic_segmentation_tpu.parallel import mesh as pmesh
+
+    calls = []
+    monkeypatch.setattr(pmesh, "init_distributed",
+                        lambda **kw: calls.append(kw) or True)
+
+    seg_parse().parse_args([])
+    assert calls == []  # default: no distributed runtime
+
+    seg_parse().parse_args(["--distributed", "true"])
+    assert calls == [{}]  # TPU-pod auto-detect path: no kwargs
+
+    seg_parse().parse_args([
+        "--distributed", "true", "--coordinator_address", "h0:1234",
+        "--num_processes", "4", "--process_id", "2"])
+    assert calls[-1] == {"coordinator_address": "h0:1234",
+                         "num_processes": 4, "process_id": 2}
+
+
+def test_init_distributed_is_idempotent(monkeypatch):
+    """A process already inside a distributed runtime (chained in-process CLI
+    invocations) must not re-initialize — jax raises on a second init."""
+    from jax._src import distributed
+
+    from thermal_semantic_segmentation_tpu.parallel import mesh as pmesh
+
+    inits = []
+    monkeypatch.setattr("jax.distributed.initialize",
+                        lambda **kw: inits.append(kw))
+
+    monkeypatch.setattr(distributed.global_state, "client", object(),
+                        raising=False)
+    assert pmesh.init_distributed() is False
+    assert inits == []
+
+    monkeypatch.setattr(distributed.global_state, "client", None,
+                        raising=False)
+    assert pmesh.init_distributed(num_processes=1) is True
+    assert inits == [{"num_processes": 1}]

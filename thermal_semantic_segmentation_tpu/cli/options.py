@@ -22,6 +22,18 @@ class HostConfigParser(argparse.ArgumentParser):
 
     def parse_args(self, *a, **kw):  # type: ignore[override]
         args = super().parse_args(*a, **kw)
+        # distributed bring-up FIRST: jax.distributed.initialize must run
+        # before anything touches a backend (make_mesh / device_put below a
+        # CLI main would otherwise see only this host's chips)
+        if getattr(args, "distributed", False):
+            from ..parallel.mesh import init_distributed
+            dist_kw = {}
+            if getattr(args, "coordinator_address", ""):
+                dist_kw["coordinator_address"] = args.coordinator_address
+            for k in ("num_processes", "process_id"):
+                if getattr(args, k, None) is not None:
+                    dist_kw[k] = getattr(args, k)
+            init_distributed(**dist_kw)
         cc = getattr(args, "compile_cache_dir", "")
         if cc:
             from ..core.compile_cache import enable_compile_cache
@@ -122,6 +134,26 @@ def _add_roots(parser: argparse.ArgumentParser):
                              'empty/"off"/"none"/"0" = disabled (so a '
                              'cache dir cannot literally be named one of '
                              'those sentinels).')
+    parser.add_argument('--distributed', type=str2bool, default=False,
+                        help='multi-host bring-up: call '
+                             'jax.distributed.initialize() before any device '
+                             'use, so the data-parallel mesh spans every '
+                             'host in the job. On TPU pods the coordinator '
+                             'is auto-detected from the TPU metadata; '
+                             'elsewhere pass --coordinator_address/'
+                             '--num_processes/--process_id. Trainer '
+                             'DataLoaders already shard per host '
+                             '(parallel.mesh.host_shard); offline CLIs '
+                             'partition their datasets per process.')
+    parser.add_argument('--coordinator_address', type=str, default='',
+                        help='with --distributed: "host:port" of process 0 '
+                             '(empty = auto-detect, the TPU-pod default).')
+    parser.add_argument('--num_processes', type=int, default=None,
+                        help='with --distributed: total process count '
+                             '(default: auto-detect).')
+    parser.add_argument('--process_id', type=int, default=None,
+                        help='with --distributed: this process\'s rank '
+                             '(default: auto-detect).')
     parser.add_argument('--seed', type=int, default=0)
 
 

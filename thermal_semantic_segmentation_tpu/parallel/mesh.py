@@ -101,13 +101,25 @@ def label_sharding(mesh: Mesh, *, spatial: bool = False) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def init_distributed(**kwargs) -> None:
+def init_distributed(**kwargs) -> bool:
     """Multi-host bring-up: call once per process before make_mesh(); the same
     'data' axis then spans DCN-connected hosts (coordinator address etc. come
-    from TPU environment variables or kwargs — see jax.distributed.initialize)."""
+    from TPU environment variables or kwargs — see jax.distributed.initialize).
+
+    Idempotent: returns False (and leaves the live client alone) when the
+    process is already part of a distributed runtime — chained in-process CLI
+    invocations (the bench_all gates, the test suite) must not re-initialize,
+    which jax rejects with a RuntimeError."""
     import jax
 
+    try:
+        from jax._src import distributed
+        if distributed.global_state.client is not None:
+            return False
+    except Exception:
+        pass  # private-module drift: fall through and let jax decide
     jax.distributed.initialize(**kwargs)
+    return True
 
 
 def host_shard() -> Optional[tuple]:
