@@ -1,5 +1,7 @@
 """Checkpoint round-trips: sync, async, torch interop."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -145,3 +147,23 @@ def test_eval_cli_adopts_layers_from_checkpoint(tmp_path, monkeypatch):
     segmentation_evaluate.main([
         "-dataset", "freiburg_ir", "-val_batch_size", "8",
         "-checkpoint_name", "tiny.pth", *common])
+
+
+def test_multihost_checkpoint_writes_are_primary_only(tmp_path, monkeypatch):
+    """On multi-host runs every process executes the trainer loop; only
+    process 0 may write the (shared-filesystem) msgpack checkpoint."""
+    import jax
+
+    from thermal_semantic_segmentation_tpu.cli._common import (
+        primary_host, save_seg_checkpoint)
+
+    p = str(tmp_path / "only_primary.pth")
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert primary_host() is False
+    save_seg_checkpoint(p, {"params": {"w": np.zeros(1)}}, epoch=0)
+    assert not os.path.exists(p)
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    assert primary_host() is True
+    save_seg_checkpoint(p, {"params": {"w": np.zeros(1)}}, epoch=0)
+    assert os.path.exists(p)

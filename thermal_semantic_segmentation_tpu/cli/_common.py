@@ -157,7 +157,21 @@ def load_seg_checkpoint(path: str):
         return variables, meta
 
 
+def primary_host() -> bool:
+    """True on the process that owns shared-filesystem side effects.
+
+    On multi-host runs every process executes the same trainer loop; params
+    are replicated, so any process COULD write the checkpoint — but all of
+    them writing the same path doubles IO and races readers on network
+    filesystems. The CLI layer funnels msgpack checkpoint writes through
+    process 0 (orbax sharded checkpoints coordinate internally and must NOT
+    be gated). Single-process: always True."""
+    return jax.process_index() == 0
+
+
 def save_seg_checkpoint(path: str, variables, **meta) -> None:
+    if not primary_host():
+        return
     payload = {"variables": jax.tree.map(np.asarray, variables), **meta}
     save_checkpoint(path, payload)
 

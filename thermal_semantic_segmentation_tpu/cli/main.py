@@ -272,18 +272,21 @@ def gan_main(args, shutdown=None):
             # (never clobber the clean per-epoch save) and exit
             path = os.path.join(args.gan_model_root_path,
                                 "preempt_" + args.new_checkpoint_name)
-            save_checkpoint(path, {
-                "epoch": epoch - 1,
-                "g_vars": _materialize_gan_vars(state, g_vars, "g"),
-                "d_vars": _materialize_gan_vars(state, d_vars, "d")})
+            from ._common import primary_host
+            if primary_host():
+                save_checkpoint(path, {
+                    "epoch": epoch - 1,
+                    "g_vars": _materialize_gan_vars(state, g_vars, "g"),
+                    "d_vars": _materialize_gan_vars(state, d_vars, "d")})
             print(f"[preempt] saved {path} — resume with -load_model true "
                   f"-checkpoint_name preempt_{args.new_checkpoint_name}",
                   flush=True)
             return state
 
+        from ._common import primary_host
         last = epoch == restart_epoch + args.num_epoch - 1
-        if last or (epoch - restart_epoch + 1) % getattr(
-                args, "save_interval", 1) == 0:
+        if (last or (epoch - restart_epoch + 1) % getattr(
+                args, "save_interval", 1) == 0) and primary_host():
             save_checkpoint(
                 ckpt_path if args.new_checkpoint_name == args.checkpoint_name
                 else os.path.join(args.gan_model_root_path,
