@@ -59,6 +59,78 @@ def param_vector(params):
                            for _, v in sorted(leaves, key=lambda kv: str(kv[0]))])
 
 
+N_EVAL_IMAGES = 9  # odd on purpose: ragged per-process batch counts
+EVAL_BATCH = 2
+
+
+def eval_images():
+    """Deterministic (image, label) pairs for the sharded-eval phase."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    for _ in range(N_EVAL_IMAGES):
+        yield (rng.normal(size=(*HW, 1)).astype(np.float32),
+               rng.integers(0, NUM_CLASSES, HW).astype(np.int32))
+
+
+def eval_loader(items):
+    """Chunk (image, label) pairs into batch dicts like a DataLoader yields."""
+    import numpy as np
+    out = []
+    for i in range(0, len(items), EVAL_BATCH):
+        chunk = items[i:i + EVAL_BATCH]
+        out.append({"image": np.stack([c[0] for c in chunk]),
+                    "label": np.stack([c[1] for c in chunk])})
+    return out
+
+
+ST_STEPS = 2
+
+
+def st_global_batches():
+    """Deterministic global self-train batches (the dryrun surface shapes:
+    target_image_full bigger than the crop, invertible weak_params)."""
+    import numpy as np
+    for i in range(ST_STEPS):
+        rng = np.random.default_rng(300 + i)
+        b = GLOBAL_BATCH
+        yield dict(
+            source_image=rng.uniform(0, 1, (b, *HW, 1)).astype(np.float32),
+            source_label=rng.integers(0, NUM_CLASSES, (b, *HW)).astype(np.int32),
+            target_image=rng.uniform(0, 1, (b, *HW, 1)).astype(np.float32),
+            target_image_full=rng.uniform(0, 1, (b, 40, 88, 1)).astype(np.float32),
+            target_lp_soft=rng.uniform(0, 1, (b, NUM_CLASSES, *HW)).astype(np.float32),
+            target_lp_hard=rng.integers(0, NUM_CLASSES, (b, *HW)).astype(np.int32),
+            weak_params={
+                "resized_hw": np.asarray([[48, 80]] * b),
+                "crop": np.asarray([[8, 40, 8, 72]] * b),
+                "flip": np.asarray(([True, False] * b)[:b])},
+        )
+
+
+def make_selftrain_and_steps():
+    """Tiny DeepLab + the real self-train step (EMA teacher, full2weak,
+    prototype rectification, RCE, moving prototypes) shared by worker and
+    single-process oracle."""
+    import jax
+    import numpy as np
+
+    from thermal_semantic_segmentation_tpu.models.deeplab import create_deeplab
+    from thermal_semantic_segmentation_tpu.train.self_train import (
+        create_self_train_state, make_self_train_step)
+
+    model, variables = create_deeplab(
+        jax.random.key(0), num_classes=NUM_CLASSES, num_channels=1,
+        layers=(1, 1, 1, 1), image_size=HW)
+    protos = np.random.default_rng(9).standard_normal(
+        (NUM_CLASSES, 256)).astype(np.float32) * 0.1
+    state = create_self_train_state(model, variables, prototypes=protos,
+                                    learning_rate=1e-3)
+    step = make_self_train_step(model, num_classes=NUM_CLASSES,
+                                ignore_index=IGNORE, base_lr=1e-3,
+                                train_thred=0.3, label_hw=HW)
+    return model, state, step
+
+
 def main():
     proc_id, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, outdir = sys.argv[3], sys.argv[4]
@@ -119,11 +191,122 @@ def main():
         {"params": state.params, "batch_stats": state.batch_stats},
         batch["image"], batch["label"])
 
+    extra = {}
+    run_extra_phases(proc_id, nproc, outdir, mesh, extra)
+
     np.savez(f"{outdir}/worker{proc_id}.npz",
              losses=np.asarray(losses), img_sums=np.asarray(img_sums),
              hist=np.asarray(hist), eval_loss=float(eval_loss),
-             param_vec=param_vector(state.params))
+             param_vec=param_vector(state.params), **extra)
     print(f"worker {proc_id} done")
+
+
+def run_extra_phases(proc_id, nproc, outdir, mesh, extra):
+    """Cross-process coverage beyond the seg train step (VERDICT r4 #3):
+    sharded eval reduction, the process-0 checkpoint funnel, shutdown-flag
+    agreement, prototype merging, and the full self-train step. Collective
+    order is identical on every rank (allgathers/barriers pair up)."""
+    import os
+
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    # --- sharded eval: disjoint ragged slices, global scores everywhere ---
+    from thermal_semantic_segmentation_tpu.eval.validate import seg_validate
+
+    model0, state0, _, _ = make_model_and_steps()
+    variables0 = {"params": state0.params, "batch_stats": state0.batch_stats}
+    mine = [im for i, im in enumerate(eval_images()) if i % nproc == proc_id]
+    mean_iu, val_loss, cls_iu = seg_validate(
+        model0, variables0, eval_loader(mine), num_classes=NUM_CLASSES,
+        ignore_index=IGNORE, label_hw=HW, pad_to_batch=EVAL_BATCH,
+        reduce_processes=True)
+    extra["seval_mean_iu"] = float(mean_iu)
+    extra["seval_val_loss"] = float(val_loss)
+    extra["seval_cls"] = np.asarray(
+        [cls_iu[k] for k in sorted(cls_iu)], np.float64)
+
+    # --- checkpoint funnel: only process 0 writes; everyone restores ---
+    from thermal_semantic_segmentation_tpu.cli._common import (
+        load_seg_checkpoint, primary_host, save_seg_checkpoint)
+
+    assert primary_host() == (proc_id == 0)
+    private = os.path.join(outdir, f"private_rank{proc_id}", "gated.pth")
+    os.makedirs(os.path.dirname(private), exist_ok=True)
+    save_seg_checkpoint(private, jax.device_get(variables0), epoch=3)
+    if proc_id != 0:
+        # the gate must have skipped the write entirely on this rank
+        assert not os.path.exists(private), "non-primary rank wrote a ckpt"
+        # and a missing checkpoint at resume fails with the shared-storage
+        # message, not an opaque msgpack error
+        try:
+            load_seg_checkpoint(os.path.join(outdir, "does_not_exist.pth"))
+            raise AssertionError("missing ckpt did not raise")
+        except FileNotFoundError as e:
+            assert "SHARED storage" in str(e), str(e)
+    else:
+        assert os.path.exists(private)
+    shared = os.path.join(outdir, "funnel.pth")
+    save_seg_checkpoint(shared, jax.device_get(variables0), epoch=3)
+    multihost_utils.sync_global_devices("funnel_written")
+    restored, meta = load_seg_checkpoint(shared)
+    assert int(meta["epoch"]) == 3
+    np.testing.assert_array_equal(param_vector(restored["params"]),
+                                  param_vector(variables0["params"]))
+    extra["funnel_ok"] = True
+
+    # --- shutdown agreement: one rank's SIGTERM stops every rank ---
+    from thermal_semantic_segmentation_tpu.utils.preempt import cross_process
+
+    class _Fake:
+        requested = False
+        signum = None
+
+    fake = _Fake()
+    agreed = cross_process(fake)
+    assert type(agreed).__name__ == "CrossProcessShutdown"
+    assert agreed.requested is False          # nobody signaled yet
+    if proc_id == 1:
+        fake.requested = True                 # signal lands on rank 1 only
+    assert agreed.requested is True           # ...and every rank agrees
+    assert agreed.requested is True           # latched: no re-gather needed
+    extra["shutdown_ok"] = True
+
+    # --- prototype merge: count-weighted partials == global mean ---
+    from thermal_semantic_segmentation_tpu.train.prototypes import (
+        merge_process_prototypes)
+
+    vecs = np.random.default_rng(11).standard_normal((10, NUM_CLASSES, 8)
+                                                     ).astype(np.float32)
+    mine_v = vecs[proc_id::nproc]
+    merged, total = merge_process_prototypes(
+        mine_v.mean(axis=0), np.full((NUM_CLASSES,), float(len(mine_v)),
+                                     np.float32))
+    # atol covers near-zero elements where fp32 reduction-order noise
+    # (~2e-8 abs) dwarfs any rtol
+    np.testing.assert_allclose(merged, vecs.mean(axis=0), rtol=2e-6, atol=1e-6)
+    np.testing.assert_array_equal(total, np.full((NUM_CLASSES,), 10.0))
+    extra["proto_ok"] = True
+
+    # --- the full self-train step over the process-spanning mesh ---
+    from thermal_semantic_segmentation_tpu.parallel.mesh import (
+        replicate, shard_batch)
+
+    _, st_state, st_step = make_selftrain_and_steps()
+    st_state = replicate(mesh, st_state)
+    local = GLOBAL_BATCH // nproc
+    sl = slice(proc_id * local, (proc_id + 1) * local)
+    lps, lss = [], []
+    for gb in st_global_batches():
+        batch = shard_batch(mesh, jax.tree.map(lambda a: a[sl], gb))
+        st_state, lp, ls = st_step(st_state, **batch)
+        lps.append(float(lp))
+        lss.append(float(ls))
+    extra["st_lp"] = np.asarray(lps)
+    extra["st_ls"] = np.asarray(lss)
+    extra["st_param_vec"] = param_vector(st_state.params)
+    extra["st_protos"] = np.asarray(st_state.prototypes)
 
 
 if __name__ == "__main__":

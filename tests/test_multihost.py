@@ -36,7 +36,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(tmp_path, nproc=2, timeout=900):
+def _run_workers(tmp_path, nproc=2, timeout=1800):
     port = _free_port()
     env = dict(os.environ)
     # the worker configures its own jax (2 CPU devices, gloo); the pytest
@@ -67,10 +67,22 @@ def _run_workers(tmp_path, nproc=2, timeout=900):
             for i in range(nproc)]
 
 
+@pytest.fixture(scope="module")
+def worker_results(tmp_path_factory):
+    """ONE 2-process gloo run shared by every test in this module: the
+    worker covers seg training, sharded eval, the checkpoint funnel,
+    shutdown agreement, prototype merging and the self-train step in a
+    single distributed bring-up (each extra bring-up costs ~a minute of
+    compile on this 1-core host). In-worker assertion failures surface here
+    as a non-zero worker exit."""
+    tmp_path = tmp_path_factory.mktemp("multihost")
+    return _run_workers(tmp_path)
+
+
 @pytest.mark.slow
-def test_two_process_dp_matches_single_process(tmp_path):
+def test_two_process_dp_matches_single_process(worker_results):
     w = _load_worker_module()
-    results = _run_workers(tmp_path)
+    results = worker_results
 
     # oracle: same model/init/steps, single process, same GLOBAL batches
     import jax
@@ -127,6 +139,87 @@ def test_two_process_dp_matches_single_process(tmp_path):
     # both workers hold the SAME replicated state (no cross-host divergence)
     np.testing.assert_array_equal(results[0]["param_vec"],
                                   results[1]["param_vec"])
+
+
+@pytest.mark.slow
+def test_sharded_eval_reduces_across_processes(worker_results):
+    """seg_validate(reduce_processes=True) over disjoint ragged per-process
+    slices returns the single-process global scores on EVERY rank — the
+    confusion matrix is integer-additive, so mIoU/class IoUs match exactly
+    (eval/validate.py + ops/confmat.py; VERDICT r4 #3a)."""
+    w = _load_worker_module()
+    results = worker_results
+
+    from thermal_semantic_segmentation_tpu.eval.validate import seg_validate
+
+    model0, state0, _, _ = w.make_model_and_steps()
+    variables0 = {"params": state0.params, "batch_stats": state0.batch_stats}
+    mean_iu, val_loss, cls_iu = seg_validate(
+        model0, variables0, w.eval_loader(list(w.eval_images())),
+        num_classes=w.NUM_CLASSES, ignore_index=w.IGNORE, label_hw=w.HW,
+        pad_to_batch=w.EVAL_BATCH)
+    cls = np.asarray([cls_iu[k] for k in sorted(cls_iu)], np.float64)
+    for r in results:
+        # histogram-derived scores: exact (integer counts, same forwards)
+        np.testing.assert_array_equal(r["seval_mean_iu"], mean_iu)
+        np.testing.assert_array_equal(r["seval_cls"], cls)
+        # CE sums reduce in a different order across processes
+        np.testing.assert_allclose(r["seval_val_loss"], val_loss, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_checkpoint_funnel_and_shutdown_agreement(worker_results):
+    """Process 0 alone writes msgpack checkpoints; every rank restores the
+    same state; a missing checkpoint on a non-primary rank raises the
+    shared-storage error; and one rank's shutdown signal stops all ranks
+    (cli/_common.primary_host, utils/preempt.cross_process; VERDICT r4 #3b
+    + ADVICE r4 medium). The assertions run inside the workers — here we
+    check they all reached the end."""
+    for r in worker_results:
+        assert r["funnel_ok"]
+        assert r["shutdown_ok"]
+        assert r["proto_ok"]
+
+
+@pytest.mark.slow
+def test_self_train_step_two_process_parity(worker_results):
+    """The full self-training update (EMA teacher, full2weak, prototype
+    rectification, RCE, moving prototypes) over a process-spanning mesh
+    matches the single-process oracle on the same global batches
+    (train/self_train.py; VERDICT r4 #3c)."""
+    w = _load_worker_module()
+    results = worker_results
+
+    import jax
+
+    from thermal_semantic_segmentation_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_batch)
+
+    mesh = make_mesh(jax.devices()[:4], batch_size=w.GLOBAL_BATCH)
+    _, st_state, st_step = w.make_selftrain_and_steps()
+    st_state = replicate(mesh, st_state)
+    lps, lss = [], []
+    for gb in w.st_global_batches():
+        batch = shard_batch(mesh, gb)
+        st_state, lp, ls = st_step(st_state, **batch)
+        lps.append(float(lp))
+        lss.append(float(ls))
+    params = w.param_vector(st_state.params)
+    protos = np.asarray(st_state.prototypes)
+
+    for r in results:
+        np.testing.assert_allclose(r["st_lp"], np.asarray(lps),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(r["st_ls"], np.asarray(lss),
+                                   rtol=2e-4, atol=1e-5)
+        # same Adam sign-noise envelope as the seg test above
+        diff = np.abs(r["st_param_vec"] - params)
+        assert diff.max() <= 4e-3, diff.max()
+        assert np.mean(diff > 2e-4) < 1e-5, np.mean(diff > 2e-4)
+        np.testing.assert_allclose(r["st_protos"], protos,
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(results[0]["st_param_vec"],
+                                  results[1]["st_param_vec"])
 
 
 def test_make_mesh_multihost_batch_check():

@@ -145,6 +145,18 @@ def load_seg_checkpoint(path: str):
 
     Returns (variables, meta) where meta carries epoch / val_loss / extras.
     """
+    if not os.path.exists(path) and jax.process_count() > 1:
+        # msgpack writes funnel through process 0 (primary_host), which
+        # assumes every rank reads checkpoints off SHARED storage; on pods
+        # with host-local disks the file only exists on host 0 and resume
+        # dies here on ranks >= 1 — say so instead of an opaque msgpack error
+        raise FileNotFoundError(
+            f"checkpoint {path!r} not found on process "
+            f"{jax.process_index()}. Multi-host runs write msgpack "
+            f"checkpoints from process 0 only and require SHARED storage "
+            f"(NFS/GCS-fuse) for resume; with host-local disks, copy the "
+            f"checkpoint to every host or use orbax sharded checkpoints "
+            f"(docs/OPERATIONS.md).")
     try:
         ckpt = load_checkpoint(path)
         variables = ckpt.pop("variables")

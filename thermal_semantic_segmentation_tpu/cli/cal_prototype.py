@@ -37,8 +37,13 @@ def calc_prototype(args):
                            with_label=False)
     else:
         raise ValueError("target dataset does not exist.")
+    # under --distributed each process folds only its own dataset shard
+    # (exact partition, no truncation); calc_prototypes count-weight-merges
+    # the per-process partials at the end (train/prototypes.py)
+    from ..parallel.mesh import host_shard
     loader = DataLoader(dataset, args.batch_size, shuffle=True, drop_last=True,
-                        seed=args.seed)
+                        seed=args.seed, shard=host_shard(),
+                        shard_lockstep=False)
 
     from ._common import apply_model_meta, build_deeplab, resolve_wire
     variables, meta = load_seg_checkpoint(
@@ -56,10 +61,14 @@ def calc_prototype(args):
                                          max_steps=args.max_steps,
                                          wire=resolve_wire(args), mesh=mesh)
     out_path = prototype_path(args.root, args.dataset, args.checkpoint_name)
-    print("saving prototypes......")
-    save_checkpoint(out_path, {"objective_vectors": np.asarray(prototypes),
-                               "counts": np.asarray(counts)})
-    print(f"saved to {out_path}")
+    from ._common import primary_host
+    if primary_host():
+        print("saving prototypes......")
+        save_checkpoint(out_path, {"objective_vectors": np.asarray(prototypes),
+                                   "counts": np.asarray(counts)})
+        print(f"saved to {out_path}")
+    else:
+        print(f"save delegated to process 0 ({out_path})")
     return prototypes
 
 

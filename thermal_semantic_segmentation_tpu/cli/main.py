@@ -67,8 +67,9 @@ def build_gan_datasets(args):
 
 
 def gan_main(args, shutdown=None):
-    from ..utils.preempt import NullShutdown
-    shutdown = shutdown if shutdown is not None else NullShutdown()
+    from ..utils.preempt import NullShutdown, cross_process
+    shutdown = cross_process(
+        shutdown if shutdown is not None else NullShutdown())
     key = jax.random.key(args.seed)
     source, target = build_gan_datasets(args)
     src_loader = DataLoader(source, args.batch_size, shuffle=True,
@@ -278,9 +279,12 @@ def gan_main(args, shutdown=None):
                     "epoch": epoch - 1,
                     "g_vars": _materialize_gan_vars(state, g_vars, "g"),
                     "d_vars": _materialize_gan_vars(state, d_vars, "d")})
-            print(f"[preempt] saved {path} — resume with -load_model true "
-                  f"-checkpoint_name preempt_{args.new_checkpoint_name}",
-                  flush=True)
+                print(f"[preempt] saved {path} — resume with -load_model true "
+                      f"-checkpoint_name preempt_{args.new_checkpoint_name}",
+                      flush=True)
+            else:
+                print(f"[preempt] save delegated to process 0 "
+                      f"(rank {jax.process_index()} exiting)", flush=True)
             return state
 
         from ._common import primary_host

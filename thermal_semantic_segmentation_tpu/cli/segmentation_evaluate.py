@@ -25,13 +25,27 @@ def seg_evaluation(args):
     # drop_last=False + pad_to_batch below: every image is scored (the
     # reference protocol is batch-1-over-all, segmentation_evaluate.py:24-80);
     # the ignore-padded tail batch is metric-exact and avoids a recompile.
+    # Under --distributed each process scores a disjoint dataset slice and
+    # the confusion matrices sum across processes (reduce_processes below) —
+    # exact, since the histogram is additive over images. Visualization dumps
+    # use a per-process-unaware filename namespace, so they force the
+    # single-slice path with a warning.
+    from ..parallel.mesh import host_shard
+    shard = host_shard()
+    if shard is not None and args.visualize_prediction:
+        print("--visualize_prediction with --distributed: every process "
+              "evaluates the full set (prediction filenames would collide "
+              "across hosts)")
+        shard = None
     if args.data_split:
         _, val_idx = split_indices(len(dataset), 0.2, seed=42)
         loader = DataLoader(dataset, args.val_batch_size, shuffle=True,
-                            indices=val_idx, drop_last=False, seed=args.seed)
+                            indices=val_idx, drop_last=False, seed=args.seed,
+                            shard=shard, shard_lockstep=False)
     else:
         loader = DataLoader(dataset, args.val_batch_size, shuffle=False,
-                            drop_last=False, seed=args.seed)
+                            drop_last=False, seed=args.seed,
+                            shard=shard, shard_lockstep=False)
 
     path = os.path.join(args.model_root_path, args.checkpoint_name)
     variables, meta = load_seg_checkpoint(path)
@@ -57,7 +71,8 @@ def seg_evaluation(args):
         model, variables, loader, num_classes=args.num_classes,
         ignore_index=args.ignore_index, visualize=args.visualize_prediction,
         save_root=save_root, pad_to_batch=args.val_batch_size,
-        wire=resolve_wire(args), mesh=mesh)
+        wire=resolve_wire(args), mesh=mesh,
+        reduce_processes=shard is not None)
     print("checkpoint name: " + args.checkpoint_name)
     print(f"mean iou score: [{mean_iu}]. val_loss: [{avg_loss}]")
     for k, v in class_iou.items():

@@ -31,8 +31,9 @@ from .options import seg_parse
 
 
 def seg_main(args, logger, shutdown=None):
-    from ..utils.preempt import NullShutdown
-    shutdown = shutdown if shutdown is not None else NullShutdown()
+    from ..utils.preempt import NullShutdown, cross_process
+    shutdown = cross_process(
+        shutdown if shutdown is not None else NullShutdown())
     mesh = make_mesh(batch_size=args.batch_size)
     # --data_parallel additionally shards the VALIDATION loops over the
     # training mesh (one extra eval compile); training always shards.
@@ -145,8 +146,12 @@ def seg_main(args, logger, shutdown=None):
             save_seg_checkpoint(path, jax.device_get(state.variables),
                                 epoch=epoch - 1, val_loss=lowest_val_loss,
                                 **model_meta(args))
+            from ._common import primary_host
+            wrote = (f"saved {path}" if primary_host()
+                     else f"save delegated to process 0 "
+                          f"(rank {jax.process_index()} exiting)")
             msg = (f"preempted (signal {shutdown.signum}) during epoch "
-                   f"{epoch}; saved {path} — resume with -load_model true "
+                   f"{epoch}; {wrote} — resume with -load_model true "
                    f"-checkpoint_name preempt_{args.new_checkpoint_name}")
             print(msg); logger.info(msg)
             return state
@@ -160,7 +165,10 @@ def seg_main(args, logger, shutdown=None):
         state = state.replace(lr_scale=jnp.asarray(scale, jnp.float32))
 
         if val_loss < lowest_val_loss:
-            msg = f"val loss reduced from {lowest_val_loss} to {val_loss}! Saving..."
+            from ._common import primary_host
+            verb = ("Saving..." if primary_host()
+                    else "Save delegated to process 0.")
+            msg = f"val loss reduced from {lowest_val_loss} to {val_loss}! {verb}"
             lowest_val_loss = val_loss
             save_seg_checkpoint(
                 os.path.join(args.model_root_path, args.new_checkpoint_name),

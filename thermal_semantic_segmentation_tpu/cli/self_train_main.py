@@ -36,8 +36,9 @@ from .options import self_train_parse
 
 
 def self_train_main(args, logger, shutdown=None):
-    from ..utils.preempt import NullShutdown
-    shutdown = shutdown if shutdown is not None else NullShutdown()
+    from ..utils.preempt import NullShutdown, cross_process
+    shutdown = cross_process(
+        shutdown if shutdown is not None else NullShutdown())
     source_dataset = Freiburg(args.freiburg_root, "train", "RGB",
                               translation_name=args.translation_name,
                               segmentation_mode=True, transforms=train_transform())

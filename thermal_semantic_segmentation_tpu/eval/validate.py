@@ -27,7 +27,8 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
                  visualize: Optional[str] = None, save_root: Optional[str] = None,
                  iter_counter: int = 0, eval_step=None,
                  pad_to_batch: Optional[int] = None,
-                 wire: Optional[str] = "packed", mesh=None):
+                 wire: Optional[str] = "packed", mesh=None,
+                 reduce_processes: bool = False):
     """Returns (mean_iu, val_loss, cls_iu) like the reference seg_validate.
 
     ``visualize``: None | 'save_all' | 'save_one' (reference flag values).
@@ -43,6 +44,12 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
     (the sharded-eval surface __graft_entry__ surface 4 certifies). Requires
     ``pad_to_batch`` divisible by ``mesh.size``; ``variables`` should already
     live on the mesh (replicated) as trainers keep them.
+    ``reduce_processes``: set when the caller sharded the DATASET per process
+    (DataLoader ``shard=host_shard()``): the per-process confusion matrices /
+    loss sums are summed across processes before scoring — exact, because the
+    histogram is additive over images. Every process returns the same global
+    scores. Leave off when each process evaluates the full set (trainers'
+    replicated val loops).
     """
     from ..data.device_pipeline import device_prefetch
 
@@ -83,6 +90,19 @@ def seg_validate(model, variables, loader, *, num_classes: int = 13,
                 Image.fromarray(img8.squeeze(-1) if img8.shape[-1] == 1 else img8).save(
                     os.path.join(save_root, f"{i}_image.png"))
 
-    scores: SegScores = scores_from_hist(np.asarray(hist))
-    val_loss = float(loss_sum) / max(n_seen, 1)  # the only scalar transfer
+    hist = np.asarray(hist)
+    loss_total = float(loss_sum)
+    if reduce_processes:
+        import jax
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            stats = np.concatenate([hist.ravel(),
+                                    [loss_total, float(n_seen)]])
+            stats = np.asarray(
+                multihost_utils.process_allgather(stats)).sum(axis=0)
+            hist = stats[:hist.size].reshape(hist.shape)
+            loss_total, n_seen = float(stats[-2]), int(stats[-1])
+
+    scores: SegScores = scores_from_hist(hist)
+    val_loss = loss_total / max(n_seen, 1)  # the only scalar transfer
     return scores.mean_iu, val_loss, scores.cls_iu

@@ -117,8 +117,17 @@ def init_distributed(**kwargs) -> bool:
         if distributed.global_state.client is not None:
             return False
     except Exception:
-        pass  # private-module drift: fall through and let jax decide
-    jax.distributed.initialize(**kwargs)
+        pass  # private-module drift: fall through to the public-API fallback
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # public-API fallback if the private probe above ever stops working
+        # after a JAX upgrade: jax rejects a second initialize with
+        # RuntimeError('... already initialized'); treat that as idempotent
+        # success, re-raise anything else (real bring-up failures).
+        if "already initialized" in str(e).lower():
+            return False
+        raise
     return True
 
 

@@ -69,4 +69,32 @@ def calc_prototypes(model, variables, loader, *, num_classes: int = 13,
                                       jnp.asarray(batch["image"]))
             if i % 10 == 0:
                 print(f"epoch [{epoch}], prototype calculation: [{i}/{len(loader)}]")
-    return np.asarray(prototypes), np.asarray(counts)
+    return merge_process_prototypes(np.asarray(prototypes), np.asarray(counts))
+
+
+def merge_process_prototypes(prototypes: np.ndarray,
+                             counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Combine per-process partial prototypes on multi-host runs.
+
+    Under ``--distributed`` each process folds only its own dataset shard
+    (DataLoader ``shard=host_shard()``); the 'mean'-mode fold keeps a
+    count-weighted running mean per class, so the exact global result is the
+    count-weighted average of the per-process partials:
+    ``sum_p(proto_p * n_p) / sum_p(n_p)``. This equals the unsharded
+    sequential fold bit-for-bits modulo float summation order whenever no
+    class count saturates ``max_count`` (3000, cal_prototype.py:93 momentum
+    regime) — past saturation both orderings are history-dependent anyway.
+    Single-process: returns the inputs untouched.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return prototypes, counts
+    from jax.experimental import multihost_utils
+
+    all_p = np.asarray(multihost_utils.process_allgather(prototypes))  # (P,C,F)
+    all_n = np.asarray(multihost_utils.process_allgather(counts))      # (P,C)
+    total = all_n.sum(axis=0)                                          # (C,)
+    weighted = (all_p * all_n[..., None]).sum(axis=0)                  # (C,F)
+    merged = weighted / np.maximum(total, 1.0)[:, None]
+    return merged.astype(prototypes.dtype), total.astype(counts.dtype)

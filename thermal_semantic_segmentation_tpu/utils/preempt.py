@@ -76,3 +76,56 @@ class NullShutdown:
 
     requested = False
     signum = None
+
+
+class CrossProcessShutdown:
+    """Cross-process agreement wrapper around a pollable shutdown flag.
+
+    :class:`GracefulShutdown` is per-process: under ``--distributed`` the
+    scheduler may deliver SIGTERM to only some hosts. If ranks disagree, the
+    signaled rank exits its step loop while the rest block forever at their
+    next collective — and when the signaled rank is not process 0, the
+    ``primary_host()``-gated preempt checkpoint is never written anywhere.
+
+    Reading ``.requested`` through this wrapper performs a cross-process OR
+    (a tiny all-gather), so every rank sees the same answer at the same poll
+    and they all exit the loop together, with process 0 guaranteed to run
+    the save. The result latches once True so later polls stay consistent
+    without re-gathering. Every rank must poll at the same points the same
+    number of times (the trainer loops are lockstep, so they do).
+    """
+
+    def __init__(self, inner):
+        self._inner = inner
+        self._agreed = False
+
+    @property
+    def requested(self) -> bool:
+        if self._agreed:
+            return True
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        local = np.asarray(bool(self._inner.requested))
+        self._agreed = bool(multihost_utils.process_allgather(local).any())
+        return self._agreed
+
+    @property
+    def signum(self):
+        # None on ranks that saw no local signal (the agreed stop may have
+        # originated elsewhere); callers print it as-is.
+        return self._inner.signum
+
+
+def cross_process(shutdown):
+    """Wrap ``shutdown`` for multi-host runs; identity on single-process.
+
+    Trainer loops call this once after resolving their shutdown source, so
+    single-process runs (and tests that monkeypatch a fake flag) pay zero
+    overhead while ``--distributed`` runs get per-step rank agreement.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return shutdown
+    return CrossProcessShutdown(shutdown)
