@@ -45,6 +45,32 @@ def test_doctor_fails_on_broken_tree(tmp_path, capsys):
     assert "FAIL" in out
 
 
+def test_doctor_grammar_audit_and_recipe(tmp_path, capsys, monkeypatch):
+    """The file-level grammar audit names the exact broken sibling, and a
+    ready tree gets the north-star launch command (MIN_MIOU=0.52,
+    reference self_train_main.py:53) — VERDICT r4 #6."""
+    parent = tmp_path / "mnt"
+    root = make_freiburg_tree(str(parent / "datasets" / "freiburg"),
+                              n_train=3, n_test=1)
+    rc = doctor.main(["--freiburg_root", root, "--check_backend", "false"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "grammar: train IR (day)" in out and "3 frames" in out
+    assert "recipe: tree is ready" in out
+    assert "MIN_MIOU=0.52 recipes/full_pipeline.sh" in out
+    assert f"cd {parent}" in out  # tree is not ./datasets/freiburg
+
+    # break ONE label sibling: the audit names it, the recipe is withheld
+    os.remove(os.path.join(root, "train", "seq_00_day", "00",
+                           "fl_rgb_labels", "0001.png"))
+    rc = doctor.main(["--freiburg_root", root, "--check_backend", "false"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "1/3 label siblings missing" in out
+    assert "fl_rgb_labels/0001.png" in out.replace(os.sep, "/")
+    assert "recipe: tree NOT ready" in out
+
+
 def test_doctor_warns_on_missing_root(tmp_path, capsys):
     rc = doctor.main(["--freiburg_root", str(tmp_path / "nope"),
                       "--check_backend", "false"])
