@@ -107,6 +107,47 @@ def st_global_batches():
         )
 
 
+GAN_STEPS = 2
+
+
+def gan_global_batches():
+    """Deterministic global (real_s, real_t) batches for the GAN phase."""
+    import numpy as np
+    for i in range(GAN_STEPS):
+        rng = np.random.default_rng(500 + i)
+        yield (rng.uniform(-1, 1, (GLOBAL_BATCH, *HW, 3)).astype(np.float32),
+               rng.uniform(-1, 1, (GLOBAL_BATCH, *HW, 1)).astype(np.float32))
+
+
+def make_gan_and_steps():
+    """Tiny CycleGAN (unet_32 G pair + PatchGAN Ds) with the real fused
+    G+pool+D step (train/gan.py). pool_size stays above the total insert
+    count so the device pool remains in its deterministic insert regime —
+    multi-host must then match single-host exactly, no RNG tolerance."""
+    import jax
+
+    from thermal_semantic_segmentation_tpu.models.factory import (
+        init_gan_net, patchgan, unet_32)
+    from thermal_semantic_segmentation_tpu.train.gan import (
+        create_gan_state, make_fused_gan_step)
+
+    key = jax.random.key(0)
+    g_s2t = unet_32(ngf=8, output_nc=1)
+    g_t2s = unet_32(ngf=8, output_nc=3)
+    d_t, d_s = patchgan(ndf=8), patchgan(ndf=8)
+    g_vars = {"s2t": init_gan_net(g_s2t, key, (1, *HW, 3)),
+              "t2s": init_gan_net(g_t2s, key, (1, *HW, 1))}
+    d_vars = {"t": init_gan_net(d_t, key, (1, *HW, 1)),
+              "s": init_gan_net(d_s, key, (1, *HW, 3))}
+    state = create_gan_state(g_vars=g_vars, d_vars=d_vars, learning_rate=1e-4)
+    step, make_pools = make_fused_gan_step(
+        pool_size=64,
+        g_apply={"s2t": g_s2t.apply, "t2s": g_t2s.apply},
+        d_apply={"t": d_t.apply, "s": d_s.apply}, cycle=True)
+    pools = make_pools({"t": (*HW, 1), "s": (*HW, 3)}, seed=0)
+    return state, pools, step
+
+
 def make_selftrain_and_steps():
     """Tiny DeepLab + the real self-train step (EMA teacher, full2weak,
     prototype rectification, RCE, moving prototypes) shared by worker and
@@ -307,6 +348,21 @@ def run_extra_phases(proc_id, nproc, outdir, mesh, extra):
     extra["st_ls"] = np.asarray(lss)
     extra["st_param_vec"] = param_vector(st_state.params)
     extra["st_protos"] = np.asarray(st_state.prototypes)
+
+    # --- the fused CycleGAN G+pool+D step over the process-spanning mesh ---
+    gstate, pools, gstep = make_gan_and_steps()
+    gstate = replicate(mesh, gstate)
+    pools = replicate(mesh, pools)
+    g_metrics = []
+    for real_s, real_t in gan_global_batches():
+        b = shard_batch(mesh, {"s": real_s[sl], "t": real_t[sl]})
+        gstate, pools, metrics = gstep(gstate, pools, b["s"], b["t"])
+        g_metrics.append({k: float(v) for k, v in metrics.items()})
+    extra["gan_metric_keys"] = np.asarray(sorted(g_metrics[0]))
+    extra["gan_metrics"] = np.asarray(
+        [[m[k] for k in sorted(m)] for m in g_metrics], np.float64)
+    extra["gan_g_param_vec"] = param_vector(gstate.g_params)
+    extra["gan_pool_count"] = int(np.asarray(pools["t"].count))
 
 
 if __name__ == "__main__":

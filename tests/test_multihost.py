@@ -222,6 +222,44 @@ def test_self_train_step_two_process_parity(worker_results):
                                   results[1]["st_param_vec"])
 
 
+@pytest.mark.slow
+def test_fused_gan_step_two_process_parity(worker_results):
+    """The fused CycleGAN G+pool+D step over a process-spanning mesh matches
+    the single-process oracle on the same global batches (train/gan.py) —
+    the last multi-host step-kind without cross-process coverage."""
+    w = _load_worker_module()
+    results = worker_results
+
+    import jax
+
+    from thermal_semantic_segmentation_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_batch)
+
+    mesh = make_mesh(jax.devices()[:4], batch_size=w.GLOBAL_BATCH)
+    gstate, pools, gstep = w.make_gan_and_steps()
+    gstate = replicate(mesh, gstate)
+    pools = replicate(mesh, pools)
+    wants = []
+    for real_s, real_t in w.gan_global_batches():
+        b = shard_batch(mesh, {"s": real_s, "t": real_t})
+        gstate, pools, metrics = gstep(gstate, pools, b["s"], b["t"])
+        wants.append({k: float(v) for k, v in metrics.items()})
+    want = np.asarray([[m[k] for k in sorted(m)] for m in wants], np.float64)
+    params = w.param_vector(gstate.g_params)
+
+    for r in results:
+        assert [str(k) for k in r["gan_metric_keys"]] == sorted(wants[0])
+        np.testing.assert_allclose(r["gan_metrics"], want, rtol=2e-4,
+                                   atol=1e-5)
+        # same Adam sign-noise envelope as the seg/self-train tests
+        diff = np.abs(r["gan_g_param_vec"] - params)
+        assert diff.max() <= 4e-3, diff.max()
+        assert np.mean(diff > 2e-4) < 1e-5, np.mean(diff > 2e-4)
+        assert int(r["gan_pool_count"]) == int(np.asarray(pools["t"].count))
+    np.testing.assert_array_equal(results[0]["gan_g_param_vec"],
+                                  results[1]["gan_g_param_vec"])
+
+
 def test_make_mesh_multihost_batch_check():
     """Per-process batch must divide the per-process device count; the mesh
     never shrinks across processes (unit-level check via a fake device)."""

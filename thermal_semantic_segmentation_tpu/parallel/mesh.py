@@ -24,7 +24,9 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+from jax import dtypes
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
@@ -196,5 +198,24 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
 
 
 def replicate(mesh: Mesh, tree):
+    """Place every leaf fully replicated over ``mesh``.
+
+    PRNG key leaves (e.g. the device ImagePool's ring-buffer key,
+    ops/image_pool.py) need special handling on process-spanning meshes:
+    ``device_put`` onto a non-addressable sharding only accepts uncommitted
+    regular arrays and host values (jax dispatch._device_put_sharding_impl),
+    and extended-dtype key arrays are neither — so move the uint32 key data
+    and re-wrap it. Same-impl wrap is a bitcast: the replicated sharding
+    carries over.
+    """
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    spanning = spans_processes(mesh)
+
+    def put(x):
+        dt = getattr(x, "dtype", None)
+        if spanning and dt is not None and jnp.issubdtype(dt, dtypes.prng_key):
+            data = jax.device_put(jax.random.key_data(x), sh)
+            return jax.random.wrap_key_data(data, impl=jax.random.key_impl(x))
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, tree)
