@@ -364,6 +364,36 @@ def run_extra_phases(proc_id, nproc, outdir, mesh, extra):
     extra["gan_g_param_vec"] = param_vector(gstate.g_params)
     extra["gan_pool_count"] = int(np.asarray(pools["t"].count))
 
+    # --- orbax sharded checkpoint across processes: every process writes
+    # only its own shards; the restored tree carries the EXACT process-
+    # spanning shardings it was saved with (core/checkpoint.save_sharded /
+    # load_sharded — the dryrun only certifies this on a single-process
+    # mesh, __graft_entry__ surface 3) ---
+    import jax.numpy as jnp
+
+    from thermal_semantic_segmentation_tpu.core.checkpoint import (
+        abstract_like, load_sharded, save_sharded)
+
+    img, _ = next(global_batches())
+    payload = {
+        "params": st_state.params,                      # replicated leaves
+        "data": shard_batch(mesh, {"x": img[sl]})["x"],  # batch-sharded leaf
+    }
+    ck = os.path.join(outdir, "orbax_sharded")          # shared tmp fs
+    save_sharded(ck, payload)
+    restored = load_sharded(ck, abstract_like(payload))
+    mismatched = jax.tree.leaves(jax.tree.map(
+        lambda o, r: int(r.sharding != o.sharding), payload, restored))
+    assert sum(mismatched) == 0, f"{sum(mismatched)} leaves changed sharding"
+    assert not restored["data"].sharding.is_fully_replicated
+    # value equality through a jitted global reduction (the arrays are not
+    # fully addressable on any one process, so no host-side compare exists)
+    diff = jax.jit(lambda a, b: jnp.asarray(
+        [jnp.abs(x - y).max() for x, y in
+         zip(jax.tree.leaves(a), jax.tree.leaves(b))]).max())(payload, restored)
+    assert float(diff) == 0.0, float(diff)
+    extra["orbax_ok"] = True
+
 
 if __name__ == "__main__":
     main()

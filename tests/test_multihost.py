@@ -182,6 +182,16 @@ def test_checkpoint_funnel_and_shutdown_agreement(worker_results):
 
 
 @pytest.mark.slow
+def test_orbax_sharded_checkpoint_across_processes(worker_results):
+    """save_sharded/load_sharded round-trips a mixed replicated +
+    batch-sharded payload over the process-spanning mesh with exact values
+    and identical shardings (core/checkpoint.py; the dryrun only certifies
+    the single-process mesh). Assertions run inside the workers."""
+    for r in worker_results:
+        assert r["orbax_ok"]
+
+
+@pytest.mark.slow
 def test_self_train_step_two_process_parity(worker_results):
     """The full self-training update (EMA teacher, full2weak, prototype
     rectification, RCE, moving prototypes) over a process-spanning mesh
