@@ -118,60 +118,48 @@ def _check_tree_grammar(rep: _Report, args):
     exactly which sibling derivations are broken when they are not.
 
     Returns True when the tree can drive the full recipe (train IR+RGB with
-    label siblings and the day test split all present and paired)."""
-    import glob
+    label siblings and the day test split all present and paired). The
+    enumeration + label derivation comes from data/list_files.freiburg_pairs
+    — the SAME code the dataset loaders use, so the audit cannot drift from
+    the grammar it audits."""
+    from ..data.list_files import freiburg_pairs
 
     root = args.freiburg_root
     if not os.path.isdir(root):
         return False
 
-    def swap(path, old, new, suffix=("", "")):
-        rel = os.path.relpath(path, root).replace(old, new)
-        if suffix[0] and rel.endswith(suffix[0]):
-            rel = rel[: -len(suffix[0])] + suffix[1]
-        return os.path.join(root, rel)
-
     ready = True
 
-    def audit(name, files, derive):
+    def audit(name, pairs):
         nonlocal ready
-        if not files:
-            rep.fail(f"grammar: {name}", "glob matched NOTHING — tree does "
+        if not pairs:
+            rep.fail(f"grammar: {name}", "matched NOTHING — tree does "
                      "not follow the reference layout (docs/MIGRATION.md)")
             ready = False
             return
-        missing = [(f, d) for f, d in ((f, derive(f)) for f in files)
-                   if not os.path.exists(d)]
+        missing = [(f, d) for f, d in pairs if not os.path.exists(d)]
         if missing:
             ex = "; ".join(f"{os.path.relpath(f, root)} -> "
                            f"{os.path.relpath(d, root)}"
                            for f, d in missing[:3])
             rep.fail(f"grammar: {name}",
-                     f"{len(missing)}/{len(files)} label siblings missing, "
+                     f"{len(missing)}/{len(pairs)} label siblings missing, "
                      f"e.g. {ex}")
             ready = False
         else:
-            rep.ok(f"grammar: {name}", f"{len(files)} frames, all label "
+            rep.ok(f"grammar: {name}", f"{len(pairs)} frames, all label "
                    f"siblings present")
 
     for time in ("day",):
-        ir = sorted(glob.glob(os.path.join(
-            root, "train", f"seq_*_{time}", "*", "fl_ir_aligned", "*.png")))
-        audit(f"train IR ({time})", ir,
-              lambda f: swap(f, "ir_aligned", "rgb_labels"))
-        rgb = sorted(glob.glob(os.path.join(
-            root, "train", f"seq_*_{time}", "*", "fl_rgb", "*.png")))
-        audit(f"train RGB ({time})", rgb,
-              lambda f: swap(f, "rgb", "rgb_labels"))
+        ir = freiburg_pairs(root, "train", "IR", time)
+        audit(f"train IR ({time})", ir)
+        rgb = freiburg_pairs(root, "train", "RGB", time)
+        audit(f"train RGB ({time})", rgb)
         if ir and rgb and len(ir) != len(rgb):
             rep.warn(f"train pairing ({time})",
                      f"{len(ir)} IR vs {len(rgb)} RGB frames (the GAN "
                      "loaders zip lockstep; unequal counts just truncate)")
-        test_ir = sorted(glob.glob(os.path.join(
-            root, "test", time, "ImagesIR", "*")))
-        audit(f"test IR ({time})", test_ir,
-              lambda f: swap(f, "ImagesIR", "SegmentationClass",
-                             suffix=("_ir.png", "_rgb.npy")))
+        audit(f"test IR ({time})", freiburg_pairs(root, "test", "IR", time))
     return ready
 
 
@@ -179,24 +167,31 @@ def _emit_recipe(args, ready: bool):
     """Print the exact full-recipe command for the mounted tree — the
     north-star run (reference self_train_main.py:53 mIoU threshold 0.52)
     should launch unattended the day real data mounts (VERDICT r4 #6)."""
-    root = os.path.normpath(args.freiburg_root)
+    root = os.path.abspath(args.freiburg_root)
     print()
     if not ready:
         print("recipe: tree NOT ready — fix the FAILs above, then re-run "
               "doctor to get the launch command.")
         return
-    suffix = os.path.join("datasets", "freiburg")
+    # full_pipeline.sh resolves the repo itself but must run from a working
+    # directory that CONTAINS datasets/freiburg (the CLIs' default root), so
+    # emit an absolute script path plus the right cd / symlink preamble.
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "recipes", "full_pipeline.sh")
+    suffix = os.sep + os.path.join("datasets", "freiburg")
     if root.endswith(suffix):
-        prefix = root[: -len(suffix)] or "."
-        cd = f"cd {prefix} && " if prefix not in (".", "./") else ""
+        workdir = root[: -len(suffix)] or os.sep
+        cd = (f"cd {workdir} && "
+              if os.path.abspath(os.getcwd()) != workdir else "")
     else:
         print(f"recipe: the pipeline CLIs default to datasets/freiburg; "
-              f"link your tree first:  ln -s {os.path.abspath(root)} "
-              f"datasets/freiburg")
+              f"from your chosen working directory link the tree first:  "
+              f"mkdir -p datasets && ln -s {root} datasets/freiburg")
         cd = ""
     print("recipe: tree is ready. Full adaptation pipeline with the "
           "reference's own save threshold as the gate:")
-    print(f"  {cd}MIN_MIOU=0.52 recipes/full_pipeline.sh")
+    print(f"  {cd}MIN_MIOU=0.52 {script}")
     print("  (add SEM_S=<rgb_seg.pth> SEM_T=<ir_seg.pth> for translation-"
           "fidelity losses once per-domain seg checkpoints exist; "
           "see recipes/full_pipeline.sh header)")

@@ -29,14 +29,20 @@ def seg_evaluation(args):
     # the confusion matrices sum across processes (reduce_processes below) —
     # exact, since the histogram is additive over images. Visualization dumps
     # use a per-process-unaware filename namespace, so they force the
-    # single-slice path with a warning.
+    # single-slice path with a warning — and only process 0 writes the PNGs
+    # (concurrent identical-path writes on the shared filesystem multi-host
+    # runs require would interleave and corrupt them).
     from ..parallel.mesh import host_shard
+    from ._common import primary_host
     shard = host_shard()
-    if shard is not None and args.visualize_prediction:
+    visualize = args.visualize_prediction
+    if shard is not None and visualize:
         print("--visualize_prediction with --distributed: every process "
               "evaluates the full set (prediction filenames would collide "
-              "across hosts)")
+              "across hosts); process 0 writes the PNGs")
         shard = None
+        if not primary_host():
+            visualize = None
     if args.data_split:
         _, val_idx = split_indices(len(dataset), 0.2, seed=42)
         loader = DataLoader(dataset, args.val_batch_size, shuffle=True,
@@ -53,7 +59,7 @@ def seg_evaluation(args):
     model, _ = build_deeplab(args, abstract=True)  # checkpoint supplies variables
 
     save_root = None
-    if args.visualize_prediction:
+    if visualize:
         save_root = os.path.join(
             args.root, "predictions",
             (args.new_checkpoint_name or args.checkpoint_name).replace(".pth", ""))
@@ -69,7 +75,7 @@ def seg_evaluation(args):
 
     mean_iu, avg_loss, class_iou = seg_validate(
         model, variables, loader, num_classes=args.num_classes,
-        ignore_index=args.ignore_index, visualize=args.visualize_prediction,
+        ignore_index=args.ignore_index, visualize=visualize,
         save_root=save_root, pad_to_batch=args.val_batch_size,
         wire=resolve_wire(args), mesh=mesh,
         reduce_processes=shard is not None)

@@ -184,7 +184,10 @@ def self_train_main(args, logger, shutdown=None):
                 if mean_iu > highest_mean_iu:
                     highest_mean_iu = mean_iu
                     stale_vals = 0
-                    print(f"mean iou improved to {mean_iu}! Saving...")
+                    from ._common import primary_host
+                    verb = ("Saving..." if primary_host()
+                            else "save delegated to process 0")
+                    print(f"mean iou improved to {mean_iu}! {verb}")
                     save("best", epoch)
                 else:
                     print("Model not improved.")
@@ -209,8 +212,13 @@ def self_train_main(args, logger, shutdown=None):
             # "preempt_" with the underscore: the documented convention
             # (utils/preempt.py) shared with the seg and GAN trainers.
             save("preempt_", epoch - 1)
+            from ._common import primary_host
+            wrote = (f"saved preempt_{args.new_checkpoint_name}"
+                     if primary_host() else
+                     f"preempt_{args.new_checkpoint_name} save delegated "
+                     f"to process 0")
             msg = (f"preempted (signal {shutdown.signum}) during epoch "
-                   f"{epoch}; saved preempt_{args.new_checkpoint_name} — "
+                   f"{epoch}; {wrote} — "
                    f"resume with -load_model true -checkpoint_name "
                    f"preempt_{args.new_checkpoint_name} --path_soft "
                    f"{args.path_soft} --path_lp {args.path_lp} (pseudo-label "

@@ -22,24 +22,21 @@ def _walk_files(root: str) -> List[str]:
     return sorted(out)
 
 
-def freiburg_lists(root: str, split: str, domain: str, time: str = "day") -> Tuple[str, str]:
-    """Write (and return paths of) Freiburg data/label list files.
+def freiburg_pairs(root: str, split: str, domain: str,
+                   time: str = "day") -> List[Tuple[str, str]]:
+    """Enumerate Freiburg (frame, derived-label) path pairs.
 
-    Grammar (utils/misc.py:236-278):
+    THE single source of the reference grammar (utils/misc.py:236-278) —
+    shared by the list-file writer below and cli/doctor.py's tree audit so
+    the two can never drift:
       test:  <root>/test/<time>/Images<domain>/**  with labels under
              SegmentationClass, '_<domain>.png' -> '_rgb.npy'
       train: IR  -> <root>/train/seq_*_<time>/*/fl_ir_aligned/*.png,
                     labels via 'ir_aligned' -> 'rgb_labels'
              RGB -> <root>/train/seq_*_<time>/*/fl_rgb/*.png,
                     labels via 'rgb' -> 'rgb_labels'
+    Label paths are derived, not checked for existence.
     """
-    list_dir = os.path.join(root, "image_list")
-    os.makedirs(list_dir, exist_ok=True)
-    data_file = os.path.join(list_dir, f"{split}_{domain}_data.txt")
-    label_file = os.path.join(list_dir, f"{split}_{domain}_label.txt")
-
-    data_paths: List[str] = []
-    label_paths: List[str] = []
     def swap(path, old, new, suffix=("", "")):
         # substitute only in the root-RELATIVE part: the reference's raw
         # str.replace (misc.py:236-279) corrupts paths whose dataset root
@@ -49,31 +46,38 @@ def freiburg_lists(root: str, split: str, domain: str, time: str = "day") -> Tup
             rel = rel[: -len(suffix[0])] + suffix[1]
         return os.path.join(root, rel)
 
+    pairs: List[Tuple[str, str]] = []
     if split == "test":
         im_dir = os.path.join(root, split, time, "Images" + domain)
         for path in _walk_files(im_dir):
-            data_paths.append(path)
-            label_paths.append(swap(
+            pairs.append((path, swap(
                 path, "Images" + domain, "SegmentationClass",
-                suffix=("_" + domain.lower() + ".png", "_rgb.npy")))
+                suffix=("_" + domain.lower() + ".png", "_rgb.npy"))))
     elif split == "train":
         if domain == "IR":
             files = sorted(glob.glob(os.path.join(root, "train", f"seq_*_{time}", "*", "fl_ir_aligned", "*.png")))
-            for f in files:
-                data_paths.append(f)
-                label_paths.append(swap(f, "ir_aligned", "rgb_labels"))
+            pairs = [(f, swap(f, "ir_aligned", "rgb_labels")) for f in files]
         else:
             files = sorted(glob.glob(os.path.join(root, "train", f"seq_*_{time}", "*", "fl_rgb", "*.png")))
-            for f in files:
-                data_paths.append(f)
-                label_paths.append(swap(f, "rgb", "rgb_labels"))
+            pairs = [(f, swap(f, "rgb", "rgb_labels")) for f in files]
     else:
         raise ValueError(f"invalid split {split!r}")
+    return pairs
 
+
+def freiburg_lists(root: str, split: str, domain: str, time: str = "day") -> Tuple[str, str]:
+    """Write (and return paths of) Freiburg data/label list files, following
+    the grammar in :func:`freiburg_pairs`."""
+    list_dir = os.path.join(root, "image_list")
+    os.makedirs(list_dir, exist_ok=True)
+    data_file = os.path.join(list_dir, f"{split}_{domain}_data.txt")
+    label_file = os.path.join(list_dir, f"{split}_{domain}_label.txt")
+
+    pairs = freiburg_pairs(root, split, domain, time)
     with open(data_file, "w") as f:
-        f.write("".join(p + "\n" for p in data_paths))
+        f.write("".join(p + "\n" for p, _ in pairs))
     with open(label_file, "w") as f:
-        f.write("".join(p + "\n" for p in label_paths))
+        f.write("".join(lab + "\n" for _, lab in pairs))
     return data_file, label_file
 
 

@@ -72,8 +72,9 @@ def calc_prototypes(model, variables, loader, *, num_classes: int = 13,
     return merge_process_prototypes(np.asarray(prototypes), np.asarray(counts))
 
 
-def merge_process_prototypes(prototypes: np.ndarray,
-                             counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+def merge_process_prototypes(prototypes: np.ndarray, counts: np.ndarray,
+                             max_count: float = 3000.0
+                             ) -> Tuple[np.ndarray, np.ndarray]:
     """Combine per-process partial prototypes on multi-host runs.
 
     Under ``--distributed`` each process folds only its own dataset shard
@@ -84,6 +85,10 @@ def merge_process_prototypes(prototypes: np.ndarray,
     sequential fold bit-for-bits modulo float summation order whenever no
     class count saturates ``max_count`` (3000, cal_prototype.py:93 momentum
     regime) — past saturation both orderings are history-dependent anyway.
+    The merged counts are re-clamped to ``max_count`` so the persisted
+    checkpoint never carries a count the single-process fold
+    (ops/class_means.py:87) could not produce — anything resuming a fold
+    from the saved counts keeps the same per-sample weight regime.
     Single-process: returns the inputs untouched.
     """
     import jax
@@ -97,4 +102,5 @@ def merge_process_prototypes(prototypes: np.ndarray,
     total = all_n.sum(axis=0)                                          # (C,)
     weighted = (all_p * all_n[..., None]).sum(axis=0)                  # (C,F)
     merged = weighted / np.maximum(total, 1.0)[:, None]
+    total = np.minimum(total, max_count)
     return merged.astype(prototypes.dtype), total.astype(counts.dtype)

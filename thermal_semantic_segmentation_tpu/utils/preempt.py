@@ -123,9 +123,13 @@ def cross_process(shutdown):
     Trainer loops call this once after resolving their shutdown source, so
     single-process runs (and tests that monkeypatch a fake flag) pay zero
     overhead while ``--distributed`` runs get per-step rank agreement.
+    ``NullShutdown`` stays unwrapped even multi-process: its flag is a class
+    constant False on every rank, so the per-step allgather could never
+    return True — callers that disabled preemption shouldn't pay a blocking
+    DCN collective per step for it.
     """
     import jax
 
-    if jax.process_count() == 1:
+    if isinstance(shutdown, NullShutdown) or jax.process_count() == 1:
         return shutdown
     return CrossProcessShutdown(shutdown)
