@@ -107,6 +107,22 @@ def st_global_batches():
         )
 
 
+N_DIST_BATCHES = 5  # odd on purpose: ragged per-process batch counts
+
+
+def dist_batches():
+    """Deterministic original/translated/label batches for distance eval."""
+    import numpy as np
+    out = []
+    for i in range(N_DIST_BATCHES):
+        rng = np.random.default_rng(700 + i)
+        out.append(dict(
+            original=rng.uniform(0, 1, (2, 16, 16, 1)).astype(np.float32),
+            translated=rng.uniform(0, 1, (2, 16, 16, 1)).astype(np.float32),
+            label=rng.integers(0, NUM_CLASSES, (2, 16, 16)).astype(np.int32)))
+    return out
+
+
 GAN_STEPS = 2
 
 
@@ -393,6 +409,19 @@ def run_extra_phases(proc_id, nproc, outdir, mesh, extra):
          zip(jax.tree.leaves(a), jax.tree.leaves(b))]).max())(payload, restored)
     assert float(diff) == 0.0, float(diff)
     extra["orbax_ok"] = True
+
+    # --- sharded translation-distance eval: disjoint ragged slices, the
+    # L1/SSIM/per-class accumulators reduce across processes
+    # (eval/distance.evaluate_distance reduce_processes=True) ---
+    from thermal_semantic_segmentation_tpu.eval.distance import (
+        evaluate_distance)
+
+    mine_d = [b for i, b in enumerate(dist_batches()) if i % nproc == proc_id]
+    d_l1, d_ssim, d_cls = evaluate_distance(
+        mine_d, wire="packed", num_classes=NUM_CLASSES, reduce_processes=True)
+    extra["dist_l1"] = float(d_l1)
+    extra["dist_ssim"] = float(d_ssim)
+    extra["dist_cls"] = np.asarray(d_cls, np.float64)
 
 
 if __name__ == "__main__":

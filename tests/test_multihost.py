@@ -233,6 +233,26 @@ def test_self_train_step_two_process_parity(worker_results):
 
 
 @pytest.mark.slow
+def test_sharded_distance_eval_reduces_across_processes(worker_results):
+    """evaluate_distance(reduce_processes=True) over disjoint ragged batch
+    slices returns the single-process global L1/SSIM/per-class scores on
+    every rank (eval/distance.py — same reduction pattern as seg_validate)."""
+    w = _load_worker_module()
+    results = worker_results
+
+    from thermal_semantic_segmentation_tpu.eval.distance import (
+        evaluate_distance)
+
+    l1, s, cls = evaluate_distance(w.dist_batches(), wire="packed",
+                                   num_classes=w.NUM_CLASSES)
+    for r in results:
+        np.testing.assert_allclose(r["dist_l1"], l1, rtol=1e-6)
+        np.testing.assert_allclose(r["dist_ssim"], s, rtol=1e-6)
+        np.testing.assert_allclose(r["dist_cls"], np.asarray(cls, np.float64),
+                                   rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
 def test_fused_gan_step_two_process_parity(worker_results):
     """The fused CycleGAN G+pool+D step over a process-spanning mesh matches
     the single-process oracle on the same global batches (train/gan.py) —

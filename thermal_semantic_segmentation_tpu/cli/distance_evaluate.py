@@ -30,8 +30,15 @@ def main(argv=None):
                               translate_name=args.checkpoint_name.replace(".pth", ""),
                               with_label=args.per_class)
     _, val_idx = split_indices(len(dataset), 0.2, seed=42)
+    # under --distributed each process scores a disjoint slice and the
+    # L1/SSIM/per-class accumulators reduce across processes (exact partition
+    # via shard_lockstep=False; per-process drop_last may trim a tail batch,
+    # same as every sharded offline CLI)
+    from ..parallel.mesh import host_shard
+    shard = host_shard()
     loader = DataLoader(dataset, min(args.batch_size, max(len(val_idx), 1)),
-                        shuffle=True, indices=val_idx, drop_last=True)
+                        shuffle=True, indices=val_idx, drop_last=True,
+                        shard=shard, shard_lockstep=False)
     from ._common import resolve_wire
     # SSIM/L1 run in f32 regardless of --bf16: never bf16 the wire here
     wire = resolve_wire(args, bf16_compute=False)
@@ -39,7 +46,8 @@ def main(argv=None):
     if args.per_class:
         from ..eval.metrics import FREIBURG_CLASS_NAMES
         avg_l1, avg_ssim, per_class = evaluate_distance(
-            loader, wire=wire, num_classes=args.num_classes)
+            loader, wire=wire, num_classes=args.num_classes,
+            reduce_processes=shard is not None)
         # class names are the eval protocol's, minus their "IoU " prefix;
         # index 12 is the ignore class
         names = [n.removeprefix("IoU ") for n in FREIBURG_CLASS_NAMES]
@@ -48,7 +56,8 @@ def main(argv=None):
             name = names[k] if k < len(names) else str(k)
             print(f"translation per-class L1 {name}: {v}")
     else:
-        avg_l1, avg_ssim = evaluate_distance(loader, wire=wire)
+        avg_l1, avg_ssim = evaluate_distance(
+            loader, wire=wire, reduce_processes=shard is not None)
     print("L1 distance: " + str(avg_l1))
     print("SSIM score: " + str(avg_ssim))
     return avg_l1, avg_ssim

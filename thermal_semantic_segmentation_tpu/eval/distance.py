@@ -43,11 +43,18 @@ def _per_class_l1_sums(ori, trans, label, *, num_classes: int):
 
 
 def evaluate_distance(loader, *, wire: str | None = "packed",
-                      num_classes: int | None = None):
+                      num_classes: int | None = None,
+                      reduce_processes: bool = False):
     """Returns (avg_l1, avg_ssim), or (avg_l1, avg_ssim, per_class_l1) when
     ``num_classes`` is given — per_class_l1[k] is the mean |ori - trans| over
     pixels labeled k (nan for classes absent from the split), and the loader's
-    batches must carry a ``label`` key (DistanceDataset(with_label=True))."""
+    batches must carry a ``label`` key (DistanceDataset(with_label=True)).
+
+    ``reduce_processes``: set when the caller sharded the DATASET per process
+    (DataLoader ``shard=host_shard()``): sample-weighted L1 / batch-weighted
+    SSIM sums and the per-class accumulators reduce across processes, so
+    every process returns the same global scores (same pattern as
+    eval/validate.seg_validate)."""
     from ..data.device_pipeline import device_prefetch
 
     distances = AverageMeter("distance", ":3.4f")
@@ -65,11 +72,22 @@ def evaluate_distance(loader, *, wire: str | None = "packed",
                 num_classes=num_classes)
             cls_sums = sums if cls_sums is None else cls_sums + sums
             cls_counts = counts if cls_counts is None else cls_counts + counts
-    avg_ssim = float(np.mean(ssim_scores)) if ssim_scores else float("nan")
+    k = num_classes or 0
+    sums = np.asarray(cls_sums) if cls_sums is not None else np.zeros(k)
+    counts = np.asarray(cls_counts) if cls_counts is not None else np.zeros(k)
+    l1_sum, l1_n = distances.sum, distances.count
+    ssim_sum, ssim_n = float(np.sum(ssim_scores)), len(ssim_scores)
+    if reduce_processes and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        stats = np.concatenate([[l1_sum, l1_n, ssim_sum, ssim_n],
+                                sums.ravel(), counts.ravel()]).astype(np.float64)
+        stats = np.asarray(multihost_utils.process_allgather(stats)).sum(axis=0)
+        l1_sum, l1_n, ssim_sum, ssim_n = stats[:4]
+        sums, counts = stats[4:4 + k], stats[4 + k:]
+    avg_l1 = l1_sum / max(l1_n, 1)
+    avg_ssim = ssim_sum / ssim_n if ssim_n else float("nan")
     if num_classes is None:
-        return distances.avg, avg_ssim
-    sums = np.asarray(cls_sums) if cls_sums is not None else np.zeros(num_classes)
-    counts = np.asarray(cls_counts) if cls_counts is not None else np.zeros(num_classes)
+        return avg_l1, avg_ssim
     with np.errstate(invalid="ignore"):
         per_class = sums / counts  # nan where the class never appears
-    return distances.avg, avg_ssim, per_class
+    return avg_l1, avg_ssim, per_class
