@@ -36,7 +36,11 @@ def main(argv=None):
     # same as every sharded offline CLI)
     from ..parallel.mesh import host_shard
     shard = host_shard()
-    loader = DataLoader(dataset, min(args.batch_size, max(len(val_idx), 1)),
+    # clamp the batch to the SMALLEST per-process shard (floor(n/nproc)), not
+    # the global count: drop_last=True on an over-large batch would silently
+    # drop every sample on every rank and report a perfect-looking L1
+    n_local = len(val_idx) if shard is None else len(val_idx) // shard[1]
+    loader = DataLoader(dataset, min(args.batch_size, max(n_local, 1)),
                         shuffle=True, indices=val_idx, drop_last=True,
                         shard=shard, shard_lockstep=False)
     from ._common import resolve_wire

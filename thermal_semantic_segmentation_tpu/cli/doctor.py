@@ -21,6 +21,11 @@ import os
 import subprocess
 import sys
 
+# repo checkout root (parent of the package dir) — only meaningful when
+# running from a source tree; recipes/ lives there, not in site-packages
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 class _Report:
     def __init__(self):
@@ -44,11 +49,9 @@ def _check_backend(rep: _Report, timeout_s: int = 120):
     code = ("import thermal_semantic_segmentation_tpu, jax, json; "
             "d = jax.devices(); "
             "print(json.dumps({'platform': d[0].platform, 'n': len(d)}))")
-    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     env = {**os.environ}
     env["PYTHONPATH"] = os.pathsep.join(
-        [pkg_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+        [_REPO_ROOT] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
     try:
         r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                            timeout=timeout_s, text=True, env=env)
@@ -176,9 +179,10 @@ def _emit_recipe(args, ready: bool):
     # full_pipeline.sh resolves the repo itself but must run from a working
     # directory that CONTAINS datasets/freiburg (the CLIs' default root), so
     # emit an absolute script path plus the right cd / symlink preamble.
-    script = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), "recipes", "full_pipeline.sh")
+    script = os.path.join(_REPO_ROOT, "recipes", "full_pipeline.sh")
+    if not os.path.isfile(script):
+        # pip-installed package: recipes/ is not shipped into site-packages
+        script = "<your-checkout>/recipes/full_pipeline.sh"
     suffix = os.sep + os.path.join("datasets", "freiburg")
     if root.endswith(suffix):
         workdir = root[: -len(suffix)] or os.sep

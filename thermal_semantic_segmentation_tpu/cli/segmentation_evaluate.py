@@ -37,9 +37,10 @@ def seg_evaluation(args):
     shard = host_shard()
     visualize = args.visualize_prediction
     if shard is not None and visualize:
-        print("--visualize_prediction with --distributed: every process "
-              "evaluates the full set (prediction filenames would collide "
-              "across hosts); process 0 writes the PNGs")
+        if primary_host():  # one copy of the warning, not one per rank
+            print("--visualize_prediction with --distributed: every process "
+                  "evaluates the full set (prediction filenames would "
+                  "collide across hosts); process 0 writes the PNGs")
         shard = None
         if not primary_host():
             visualize = None

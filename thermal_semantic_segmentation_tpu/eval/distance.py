@@ -84,7 +84,9 @@ def evaluate_distance(loader, *, wire: str | None = "packed",
         stats = np.asarray(multihost_utils.process_allgather(stats)).sum(axis=0)
         l1_sum, l1_n, ssim_sum, ssim_n = stats[:4]
         sums, counts = stats[4:4 + k], stats[4 + k:]
-    avg_l1 = l1_sum / max(l1_n, 1)
+    # nan, not 0.0, when nothing was evaluated: an empty shard/split must
+    # never read as a perfect translation score
+    avg_l1 = l1_sum / l1_n if l1_n else float("nan")
     avg_ssim = ssim_sum / ssim_n if ssim_n else float("nan")
     if num_classes is None:
         return avg_l1, avg_ssim

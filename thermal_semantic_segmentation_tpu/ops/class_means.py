@@ -53,11 +53,16 @@ def masked_class_means(feat: jax.Array, outputs: jax.Array, *,
     return vectors, valid
 
 
+MAX_PROTOTYPE_COUNT = 3000.0  # cal_prototype.py:93 momentum-regime cap —
+# the single source for every fold/merge that must respect the saturation
+
+
 def fold_prototypes(prototypes: jax.Array, counts: jax.Array,
                     vectors: jax.Array, valid: jax.Array, *,
                     momentum: float = 1e-4, mode: str = "moving_average",
                     start_mean: bool = True,
-                    max_count: float = 3000.0) -> Tuple[jax.Array, jax.Array]:
+                    max_count: float = MAX_PROTOTYPE_COUNT,
+                    ) -> Tuple[jax.Array, jax.Array]:
     """Sequentially fold (N, C, F) class vectors into (C, F) prototypes.
 
     Exactly reproduces update_objective_SingleVector semantics

@@ -73,7 +73,7 @@ def calc_prototypes(model, variables, loader, *, num_classes: int = 13,
 
 
 def merge_process_prototypes(prototypes: np.ndarray, counts: np.ndarray,
-                             max_count: float = 3000.0
+                             max_count: float | None = None
                              ) -> Tuple[np.ndarray, np.ndarray]:
     """Combine per-process partial prototypes on multi-host runs.
 
@@ -102,5 +102,8 @@ def merge_process_prototypes(prototypes: np.ndarray, counts: np.ndarray,
     total = all_n.sum(axis=0)                                          # (C,)
     weighted = (all_p * all_n[..., None]).sum(axis=0)                  # (C,F)
     merged = weighted / np.maximum(total, 1.0)[:, None]
+    if max_count is None:
+        from ..ops.class_means import MAX_PROTOTYPE_COUNT
+        max_count = MAX_PROTOTYPE_COUNT  # the fold's own cap, one source
     total = np.minimum(total, max_count)
     return merged.astype(prototypes.dtype), total.astype(counts.dtype)
